@@ -1,0 +1,118 @@
+"""NAFNet restoration blocks, NHWC / flax.
+
+Behavioral spec from the reference:
+  * NAFBlock — `models/cr/naf.py:23-126` (identical copy at
+    `models/fpg/naf.py`): LN -> 1x1 (c->2c) -> 3x3 depthwise -> SimpleGate
+    -> simplified channel attention -> 1x1 (c) -> residual scaled by `beta`;
+    then LN -> 1x1 (c->2c) -> SimpleGate -> 1x1 (c) -> residual scaled by
+    `gamma`. beta/gamma are per-channel, zero-initialized.
+  * ConditionalNAFBlock — `models/denoiser/conditional_naf.py:13-136`: the
+    same block with AdaLN/FiLM time conditioning: a per-block MLP
+    (SimpleGate -> Linear(time_dim//2, 4c)) yields
+    (shift_att, scale_att, shift_ffn, scale_ffn), applied as
+    `x * (scale + 1) + shift` right after each LN.
+
+TPU notes: everything between the two convolutions is pointwise/VPU work that
+XLA fuses into the conv epilogues; SCA's global mean is a tiny reduction. The
+dominant FLOPs (1x1 convs) are MXU matmuls over the channel axis, which NHWC
+keeps as the fast (lane) dimension.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from hifidiff_tpu.nn.layers import LayerNorm2d, TorchConv, TorchDense
+from hifidiff_tpu.ops.gates import simple_gate
+
+
+class SimplifiedChannelAttention(nn.Module):
+    """Global average pool -> 1x1 conv -> multiplicative per-channel gate."""
+
+    channels: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        w = TorchConv(self.channels, (1, 1), dtype=self.dtype, name="conv")(pooled)
+        return x * w
+
+
+class NAFBlock(nn.Module):
+    c: int
+    dw_expand: int = 2
+    ffn_expand: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.c
+        dw = c * self.dw_expand
+        ffn = c * self.ffn_expand
+
+        inp = x
+        x = LayerNorm2d(c, name="norm1")(x)
+        x = TorchConv(dw, (1, 1), dtype=self.dtype, name="conv1")(x)
+        x = TorchConv(dw, (3, 3), padding=1, feature_group_count=dw,
+                      dtype=self.dtype, name="conv2")(x)
+        x = simple_gate(x)
+        x = SimplifiedChannelAttention(dw // 2, dtype=self.dtype, name="sca")(x)
+        x = TorchConv(c, (1, 1), dtype=self.dtype, name="conv3")(x)
+
+        beta = self.param("beta", nn.initializers.zeros, (c,))
+        y = inp + x * beta.astype(x.dtype)
+
+        x = LayerNorm2d(c, name="norm2")(y)
+        x = TorchConv(ffn, (1, 1), dtype=self.dtype, name="conv4")(x)
+        x = simple_gate(x)
+        x = TorchConv(c, (1, 1), dtype=self.dtype, name="conv5")(x)
+
+        gamma = self.param("gamma", nn.initializers.zeros, (c,))
+        return y + x * gamma.astype(x.dtype)
+
+
+class ConditionalNAFBlock(nn.Module):
+    c: int
+    time_dim: int = 512
+    dw_expand: int = 2
+    ffn_expand: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, t):
+        """x: (N, H, W, c); t: (N, time_dim) time embedding."""
+        c = self.c
+        dw = c * self.dw_expand
+        ffn = c * self.ffn_expand
+
+        film = TorchDense(4 * c, dtype=self.dtype, name="time_proj")(
+            simple_gate(t)
+        )
+        film = film[:, None, None, :]
+        shift_att, scale_att, shift_ffn, scale_ffn = jnp.split(film, 4, axis=-1)
+
+        inp = x
+        x = LayerNorm2d(c, name="norm1")(x)
+        x = x * (scale_att + 1.0) + shift_att
+        x = TorchConv(dw, (1, 1), dtype=self.dtype, name="conv1")(x)
+        x = TorchConv(dw, (3, 3), padding=1, feature_group_count=dw,
+                      dtype=self.dtype, name="conv2")(x)
+        x = simple_gate(x)
+        x = SimplifiedChannelAttention(dw // 2, dtype=self.dtype, name="sca")(x)
+        x = TorchConv(c, (1, 1), dtype=self.dtype, name="conv3")(x)
+
+        beta = self.param("beta", nn.initializers.zeros, (c,))
+        y = inp + x * beta.astype(x.dtype)
+
+        x = LayerNorm2d(c, name="norm2")(y)
+        x = x * (scale_ffn + 1.0) + shift_ffn
+        x = TorchConv(ffn, (1, 1), dtype=self.dtype, name="conv4")(x)
+        x = simple_gate(x)
+        x = TorchConv(c, (1, 1), dtype=self.dtype, name="conv5")(x)
+
+        gamma = self.param("gamma", nn.initializers.zeros, (c,))
+        return y + x * gamma.astype(x.dtype)

@@ -1,0 +1,64 @@
+"""Channel LayerNorm for NHWC feature maps ("LayerNorm2d").
+
+Semantics match the reference's hand-rolled autograd op (reference
+`utils.py:13-54`): per-pixel normalization over the channel axis with biased
+variance, `y = (x - mu) / sqrt(var + eps) * weight + bias`, eps default 1e-6.
+
+The reference implements the backward by hand; here we register an explicit
+`jax.custom_vjp` carrying the same closed-form gradient. This is numerically
+identical to autodiff but (a) rematerializes `y` instead of saving the conv
+inputs, and (b) gives us a stable seam where the fused Pallas kernel
+(LN + FiLM + pointwise) plugs in without touching call sites.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _ln2d_fwd_math(x, weight, bias, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    return y * weight + bias, y, var
+
+
+@jax.custom_vjp
+def _layer_norm_2d(x, weight, bias, eps):
+    out, _, _ = _ln2d_fwd_math(x, weight, bias, eps)
+    return out
+
+
+def _layer_norm_2d_fwd(x, weight, bias, eps):
+    out, y, var = _ln2d_fwd_math(x, weight, bias, eps)
+    return out, (y, var, weight, eps)
+
+
+def _layer_norm_2d_bwd(res, g):
+    y, var, weight, eps = res
+    # d/dx of y=(x-mu)*rsqrt(var+eps):
+    #   gx = rsqrt(var+eps) * (gw - y*mean(gw*y) - mean(gw)), gw = g*weight
+    gw = g * weight
+    mean_g = jnp.mean(gw, axis=-1, keepdims=True)
+    mean_gy = jnp.mean(gw * y, axis=-1, keepdims=True)
+    gx = jax.lax.rsqrt(var + eps) * (gw - y * mean_gy - mean_g)
+    reduce_axes = tuple(range(g.ndim - 1))
+    gweight = jnp.sum(g * y, axis=reduce_axes)
+    gbias = jnp.sum(g, axis=reduce_axes)
+    return gx, gweight, gbias, None
+
+
+_layer_norm_2d.defvjp(_layer_norm_2d_fwd, _layer_norm_2d_bwd)
+
+
+def layer_norm_2d(x: jax.Array, weight: jax.Array, bias: jax.Array,
+                  eps: float = 1e-6) -> jax.Array:
+    """Normalize the last (channel) axis of an NHWC tensor.
+
+    Args:
+      x: (..., C) array — typically (N, H, W, C).
+      weight/bias: (C,) learnable affine.
+      eps: added to the biased variance before rsqrt (reference uses 1e-6).
+    """
+    return _layer_norm_2d(x, weight, bias, eps)
