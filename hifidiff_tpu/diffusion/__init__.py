@@ -1,0 +1,13 @@
+from hifidiff_tpu.diffusion.schedule import DiffusionSchedule
+from hifidiff_tpu.diffusion.sampling import (
+    ddim_timesteps,
+    sample_ddim,
+    sample_ddpm,
+)
+
+__all__ = [
+    "DiffusionSchedule",
+    "ddim_timesteps",
+    "sample_ddim",
+    "sample_ddpm",
+]

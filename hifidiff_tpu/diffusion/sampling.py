@@ -1,0 +1,147 @@
+"""Reverse-diffusion samplers compiled to a single `lax.scan`.
+
+Matches the stepping semantics the reference gets from diffusers'
+DDIM/DDPM schedulers (`pretrain_denoiser.py:101-110`, `test_refiner.py:85-91`)
+— epsilon prediction, "leading" timestep spacing, eta=0 deterministic DDIM,
+optional x0 clipping (`clip_sample`/`clip_sample_range=3.0` in
+`test_refiner.py:166-171`) — but with TPU-native structure: all per-step
+constants are precomputed host-side into stacked arrays, the model call runs
+inside `lax.scan`, and the whole sampler (50 UNet forwards) is ONE compiled
+XLA program instead of 50 host dispatches.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hifidiff_tpu.diffusion.schedule import DiffusionSchedule
+
+EpsFn = Callable[[jax.Array, jax.Array], jax.Array]
+# eps_fn(latents_NHWC, timesteps_B) -> predicted epsilon
+
+
+def ddim_timesteps(num_train_timesteps: int, num_inference_steps: int,
+                   steps_offset: int = 0) -> np.ndarray:
+    """diffusers 'leading' spacing: descending [.., 2r, r, 0] + offset."""
+    step_ratio = num_train_timesteps // num_inference_steps
+    ts = (np.arange(num_inference_steps) * step_ratio).round()[::-1]
+    return ts.astype(np.int64) + steps_offset
+
+
+def _x0_from_eps(sample, eps, alpha_prod):
+    return (sample - jnp.sqrt(1.0 - alpha_prod) * eps) / jnp.sqrt(alpha_prod)
+
+
+def sample_ddim(
+    eps_fn: EpsFn,
+    latents: jax.Array,
+    schedule: DiffusionSchedule,
+    num_inference_steps: int = 50,
+    eta: float = 0.0,
+    clip_sample: bool = False,
+    clip_sample_range: float = 1.0,
+    key: Optional[jax.Array] = None,
+    steps_offset: int = 0,
+) -> jax.Array:
+    """Deterministic (eta=0) or stochastic DDIM, one fused scan.
+
+    Args:
+      eps_fn: closure over model params; gets (x_t, t_batch) and returns eps.
+      latents: (B, h, w, C) initial noise.
+      schedule: training schedule (1000-step scaled_linear for parity).
+    """
+    acp = np.asarray(schedule.alphas_cumprod)
+    ts = ddim_timesteps(schedule.num_train_timesteps, num_inference_steps,
+                        steps_offset)
+    prev_ts = ts - schedule.num_train_timesteps // num_inference_steps
+    alpha_t = acp[ts]
+    # diffusers set_alpha_to_one=True: final step targets alpha_bar = 1
+    alpha_prev = np.where(prev_ts >= 0, acp[np.clip(prev_ts, 0, None)], 1.0)
+
+    if eta > 0.0 and key is None:
+        raise ValueError("stochastic DDIM (eta>0) requires a PRNG key")
+    keys = (jax.random.split(key, num_inference_steps) if eta > 0.0
+            else np.zeros((num_inference_steps, 2), dtype=np.uint32))
+
+    xs = {
+        "t": jnp.asarray(ts, dtype=jnp.float32),
+        "alpha_t": jnp.asarray(alpha_t, dtype=jnp.float32),
+        "alpha_prev": jnp.asarray(alpha_prev, dtype=jnp.float32),
+        "key": jnp.asarray(keys),
+    }
+    batch = latents.shape[0]
+
+    def step(x, c):
+        t_batch = jnp.full((batch,), c["t"], dtype=jnp.float32)
+        eps = eps_fn(x, t_batch)
+        x0 = _x0_from_eps(x, eps, c["alpha_t"])
+        if clip_sample:
+            x0 = jnp.clip(x0, -clip_sample_range, clip_sample_range)
+        if eta > 0.0:
+            var = ((1.0 - c["alpha_prev"]) / (1.0 - c["alpha_t"])
+                   * (1.0 - c["alpha_t"] / c["alpha_prev"]))
+            sigma = eta * jnp.sqrt(var)
+            noise = jax.random.normal(c["key"], x.shape, x.dtype)
+        else:
+            sigma = 0.0
+            noise = 0.0
+        dir_xt = jnp.sqrt(1.0 - c["alpha_prev"] - sigma ** 2) * eps
+        x_prev = jnp.sqrt(c["alpha_prev"]) * x0 + dir_xt + sigma * noise
+        return x_prev, None
+
+    final, _ = jax.lax.scan(step, latents, xs)
+    return final
+
+
+def sample_ddpm(
+    eps_fn: EpsFn,
+    latents: jax.Array,
+    schedule: DiffusionSchedule,
+    key: jax.Array,
+    clip_sample: bool = True,
+    clip_sample_range: float = 1.0,
+) -> jax.Array:
+    """Full-schedule ancestral DDPM sampling (fixed_small variance),
+    matching diffusers DDPMScheduler.step semantics, as one scan over all
+    T timesteps."""
+    acp = np.asarray(schedule.alphas_cumprod)
+    betas = np.asarray(schedule.betas)
+    T = schedule.num_train_timesteps
+    ts = np.arange(T)[::-1]
+    alpha_t = acp[ts]
+    alpha_prev = np.where(ts - 1 >= 0, acp[np.clip(ts - 1, 0, None)], 1.0)
+    beta_t = betas[ts]
+    alphas = 1.0 - beta_t
+
+    # posterior q(x_{t-1} | x_t, x_0) coefficients
+    x0_coef = np.sqrt(alpha_prev) * beta_t / (1.0 - alpha_t)
+    xt_coef = np.sqrt(alphas) * (1.0 - alpha_prev) / (1.0 - alpha_t)
+    var = np.clip((1.0 - alpha_prev) / (1.0 - alpha_t) * beta_t, 1e-20, None)
+    sigma = np.sqrt(var) * (ts > 0)  # no noise at t=0
+
+    xs = {
+        "t": jnp.asarray(ts, dtype=jnp.float32),
+        "alpha_t": jnp.asarray(alpha_t, dtype=jnp.float32),
+        "x0_coef": jnp.asarray(x0_coef, dtype=jnp.float32),
+        "xt_coef": jnp.asarray(xt_coef, dtype=jnp.float32),
+        "sigma": jnp.asarray(sigma, dtype=jnp.float32),
+        "key": jax.random.split(key, T),
+    }
+    batch = latents.shape[0]
+
+    def step(x, c):
+        t_batch = jnp.full((batch,), c["t"], dtype=jnp.float32)
+        eps = eps_fn(x, t_batch)
+        x0 = _x0_from_eps(x, eps, c["alpha_t"])
+        if clip_sample:
+            x0 = jnp.clip(x0, -clip_sample_range, clip_sample_range)
+        mean = c["x0_coef"] * x0 + c["xt_coef"] * x
+        noise = jax.random.normal(c["key"], x.shape, x.dtype)
+        return mean + c["sigma"] * noise, None
+
+    final, _ = jax.lax.scan(step, latents, xs)
+    return final

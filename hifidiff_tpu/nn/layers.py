@@ -8,6 +8,8 @@ reference's, while keeping everything a flax/NHWC pytree.
 
 from __future__ import annotations
 
+import math
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -74,7 +76,7 @@ class TorchConv(nn.Module):
             pad = ((pad, pad), (pad, pad))
         cin = x.shape[-1]
         fan_in = (cin // self.feature_group_count) * int(
-            jnp.prod(jnp.asarray(self.kernel_size))
+            math.prod(self.kernel_size)
         )
         return nn.Conv(
             features=self.features,
@@ -86,6 +88,7 @@ class TorchConv(nn.Module):
             kernel_init=torch_conv_kernel_init,
             bias_init=torch_fan_in_bias_init(fan_in),
             dtype=self.dtype,
+            name="conv",
         )(x)
 
 
@@ -108,4 +111,5 @@ class TorchDense(nn.Module):
             kernel_init=self.kernel_init,
             bias_init=bias_init,
             dtype=self.dtype,
+            name="dense",
         )(x)
