@@ -1,0 +1,138 @@
+"""Benchmark: end-to-end HifiDiff inference throughput on one TPU chip.
+
+Workload (BASELINE.md): 50-step DDIM, 16x16x4 latents -> 128x128 faces,
+full pipeline per face = CR (NAFNet-UNet + 13 STNs, pixel space) ->
+VAE-encode -> FPG priors + IDC ResNet-50 embedding (once) -> 50x
+FusedDenoiser -> VAE-decode. The whole pipeline is ONE jitted XLA program
+(scan over the reverse loop), bf16 compute / f32 params.
+
+Prints one JSON line:
+  {"metric": "faces_per_sec_per_chip_128px_ddim50", "value": N,
+   "unit": "faces/sec", "vs_baseline": N}
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+baseline is an analytic estimate of the PyTorch reference on one A100:
+pipeline FLOPs (from XLA cost analysis) / 15 TFLOP/s effective — i.e. A100
+TF32 peak 156 TFLOP/s at ~10% MFU, generous for a torch pipeline of small
+convs with 50 host-dispatched UNet+scheduler steps and per-step Python
+overhead (`test_refiner.py:87-91`). Revisit when a measured torch number
+exists.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+A100_EFFECTIVE_FLOPS = 15e12  # see module docstring
+FALLBACK_PIPELINE_TFLOPS_PER_FACE = 0.35  # analytic, used if cost_analysis fails
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args()
+
+    from hifidiff_tpu.diffusion import DiffusionSchedule
+    from hifidiff_tpu.models import CoarseRestoration, FacialRefiner
+    from hifidiff_tpu.pipeline import (
+        RefinerPipelineConfig,
+        build_refiner_sampler,
+    )
+    from hifidiff_tpu.vae import AutoencoderKL
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+
+    def log(*a):
+        if args.verbose:
+            print(*a, file=sys.stderr, flush=True)
+
+    log("devices:", jax.devices())
+    key = jax.random.PRNGKey(0)
+
+    cr = CoarseRestoration(dtype=dtype)
+    vae = AutoencoderKL(dtype=dtype)
+    refiner = FacialRefiner(dtype=dtype)
+    schedule = DiffusionSchedule.create()
+
+    t0 = time.time()
+    cr_params = jax.jit(cr.init)(key, jnp.zeros((1, 128, 128, 3)))["params"]
+    vae_params = jax.jit(vae.init)(key, jnp.zeros((1, 128, 128, 3)))["params"]
+    rv = jax.jit(
+        lambda k: refiner.init(k, jnp.zeros((1, 16, 16, 4)), jnp.zeros((1,)),
+                               jnp.zeros((1, 128, 128, 3)),
+                               jnp.zeros((1, 16, 16, 4)), train=False)
+    )(key)
+    jax.block_until_ready((cr_params, vae_params, rv))
+    log(f"init done in {time.time() - t0:.1f}s")
+
+    variables = {
+        "refiner": {"params": rv["params"],
+                    "batch_stats": rv.get("batch_stats", {})},
+        "cr": cr_params,
+        "vae": vae_params,
+    }
+
+    sampler = build_refiner_sampler(
+        refiner, cr, vae, schedule,
+        RefinerPipelineConfig(num_inference_steps=args.steps))
+    fn = jax.jit(sampler)
+
+    lr_images = jax.random.uniform(key, (args.batch, 128, 128, 3))
+
+    t0 = time.time()
+    lowered = fn.lower(variables, lr_images, key)
+    compiled = lowered.compile()
+    log(f"compile done in {time.time() - t0:.1f}s")
+
+    flops_per_call = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_call = float(ca.get("flops", 0.0)) or None
+    except Exception as e:  # noqa: BLE001
+        log("cost_analysis unavailable:", e)
+
+    out = compiled(variables, lr_images, key)
+    jax.block_until_ready(out)
+    log("warmup done")
+
+    t0 = time.time()
+    for i in range(args.iters):
+        out = compiled(variables, lr_images, jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+
+    faces_per_sec = args.batch * args.iters / dt
+    log(f"{args.iters} iters x batch {args.batch} in {dt:.3f}s "
+        f"-> {faces_per_sec:.2f} faces/s")
+
+    if flops_per_call:
+        flops_per_face = flops_per_call / args.batch
+    else:
+        flops_per_face = FALLBACK_PIPELINE_TFLOPS_PER_FACE * 1e12
+    baseline_faces_per_sec = A100_EFFECTIVE_FLOPS / flops_per_face
+    log(f"flops/face={flops_per_face:.3e}, baseline_est="
+        f"{baseline_faces_per_sec:.2f} faces/s (A100 torch, analytic)")
+
+    print(json.dumps({
+        "metric": "faces_per_sec_per_chip_128px_ddim50",
+        "value": round(faces_per_sec, 3),
+        "unit": "faces/sec",
+        "vs_baseline": round(faces_per_sec / baseline_faces_per_sec, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

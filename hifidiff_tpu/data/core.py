@@ -1,0 +1,136 @@
+"""Dataset protocol + threaded prefetching loader (no torch dependency).
+
+Replaces the reference's `torch.utils.data.Dataset`/`DataLoader` stack
+(worker processes + pinned NCHW tensors) with a numpy/NHWC pipeline that
+feeds `jax.device_put` directly. Samples are dicts of float32 NHWC arrays;
+the loader shuffles per-epoch with a seeded PRNG (reproducible resume),
+assembles batches on a thread pool, and keeps a bounded prefetch queue so
+host work overlaps device compute.
+
+Also fixes the reference's dataset-API drift (SURVEY.md §2.3): every
+dataset takes a single `split=` argument, and all live in one package.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+Sample = Dict[str, np.ndarray]
+
+
+class Dataset:
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def __getitem__(self, index: int) -> Sample:
+        raise NotImplementedError
+
+
+class ConcatDataset(Dataset):
+    """Concatenation of datasets (`torch ConcatDataset` equivalent, used for
+    MultiPIE-HQ + CelebA-HQ denoiser pretraining, `pretrain_denoiser.py:241`)."""
+
+    def __init__(self, datasets: Sequence[Dataset]):
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def __getitem__(self, index: int) -> Sample:
+        d = int(np.searchsorted(self._offsets, index, side="right") - 1)
+        return self.datasets[d][index - int(self._offsets[d])]
+
+
+def _collate(samples: List[Sample]) -> Sample:
+    out: Sample = {}
+    for k in samples[0]:
+        v0 = samples[0][k]
+        if isinstance(v0, np.ndarray):
+            out[k] = np.stack([s[k] for s in samples])
+        else:
+            out[k] = np.asarray([s[k] for s in samples])
+    return out
+
+
+class Loader:
+    """Seeded, threaded, prefetching batch iterator."""
+
+    def __init__(self, dataset: Dataset, batch_size: int,
+                 shuffle: bool = True, drop_last: bool = False,
+                 seed: int = 0, num_threads: int = 4,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_threads = max(1, num_threads)
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self) -> List[np.ndarray]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(order)
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, n, self.batch_size)]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def __iter__(self) -> Iterator[Sample]:
+        batches = self._batch_indices()
+        self.epoch += 1
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        lock = threading.Lock()
+        cursor = {"i": 0}
+        results: Dict[int, Optional[Sample]] = {}
+        cond = threading.Condition()
+
+        def worker():
+            while not stop.is_set():
+                with lock:
+                    i = cursor["i"]
+                    if i >= len(batches):
+                        return
+                    cursor["i"] = i + 1
+                try:
+                    batch = _collate([self.dataset[int(j)] for j in batches[i]])
+                except Exception as e:  # surface loader errors to consumer
+                    batch = e  # type: ignore[assignment]
+                with cond:
+                    results[i] = batch  # type: ignore[assignment]
+                    cond.notify_all()
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_threads)]
+        for t in threads:
+            t.start()
+        try:
+            for i in range(len(batches)):
+                with cond:
+                    while i not in results:
+                        cond.wait(timeout=0.1)
+                        if not any(t.is_alive() for t in threads) \
+                                and i not in results:
+                            raise RuntimeError("loader workers died")
+                    batch = results.pop(i)
+                if isinstance(batch, Exception):
+                    raise batch
+                yield batch
+        finally:
+            stop.set()

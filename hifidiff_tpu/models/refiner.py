@@ -15,7 +15,7 @@ partial freeze of the denoiser intro+encoders (`refiner.py:27-30`) maps to an
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -28,13 +28,22 @@ from hifidiff_tpu.models.idc import IDCEncoder
 class FacialRefiner(nn.Module):
     latent_size: int = 16
     width: int = 128
+    enc_nums: Sequence[int] = (2, 2, 4, 8)
+    mid_num: int = 8
+    dec_nums: Sequence[int] = (2, 2, 2, 2)
+    idc_stage_sizes: Sequence[int] = (3, 4, 6, 3)
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
-        self.idc = IDCEncoder(dtype=self.dtype)
-        self.fpg = FacialPriorGuidance(width=self.width, dtype=self.dtype)
+        self.idc = IDCEncoder(stage_sizes=self.idc_stage_sizes,
+                              dtype=self.dtype)
+        self.fpg = FacialPriorGuidance(width=self.width,
+                                       enc_nums=self.enc_nums,
+                                       dtype=self.dtype)
         self.denoiser = FusedDenoiser(
-            width=self.width, latent_size=self.latent_size, dtype=self.dtype
+            width=self.width, latent_size=self.latent_size,
+            enc_nums=self.enc_nums, mid_num=self.mid_num,
+            dec_nums=self.dec_nums, dtype=self.dtype,
         )
 
     def __call__(self, latents, timesteps, cr_face, cr_latent,

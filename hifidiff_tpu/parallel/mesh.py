@@ -1,0 +1,56 @@
+"""Device-mesh parallelism: declared shardings, XLA-inserted collectives.
+
+The reference's only distributed machinery is HF Accelerate DDP (NCCL
+all-reduce in `accelerator.backward`, `pretrain_denoiser.py:230,282-287`).
+The TPU-native equivalent is GSPMD: build a `jax.sharding.Mesh`, shard the
+batch axis with a NamedSharding, replicate parameters, and `jit` the train
+step — XLA emits the gradient `psum` over ICI within a slice (DCN across
+slices) with zero communication code (SURVEY.md §2.5).
+
+Axes:
+  * "data"  — batch sharding (the workload's scaling axis; no token/sequence
+    axis exists in this model family, SURVEY.md §5 long-context row).
+  * "model" — optional tensor-axis for the 2048-channel bottleneck convs;
+    parity does not require it (largest matmul is 2048x4096) but the mesh
+    API carries it so wide configs can shard channels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axes: Sequence[str] = ("data",),
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    """Build a mesh over the first `n_devices` devices.
+
+    With the default single axis, shape is (n_devices,). Pass
+    axes=("data", "model") and an explicit shape for hybrid DP x TP.
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axes) - 1)
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axes)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Leading-axis ("data") sharding for an ndim-dimensional batch."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Device-put every leaf with its leading axis split over "data"."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), tree)

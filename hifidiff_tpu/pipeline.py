@@ -1,0 +1,129 @@
+"""End-to-end HifiDiff inference pipelines as single jitted programs.
+
+The reference inference path (`test_refiner.py:58-95`) is: CR on the LR
+face -> VAE-encode the CR face -> FPG priors + IDC embedding (once) -> 50
+host-dispatched FusedDenoiser+DDIM steps -> VAE decode. Here the WHOLE thing
+— including the 50-step reverse loop as a `lax.scan` — is one XLA program:
+zero host round-trips between kernel launches, conditioning computed once
+and carried as scan constants (BASELINE.md north-star requirement).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hifidiff_tpu.diffusion.sampling import sample_ddim
+from hifidiff_tpu.diffusion.schedule import DiffusionSchedule
+from hifidiff_tpu.models import (
+    CoarseRestoration,
+    Denoiser,
+    FacialRefiner,
+)
+from hifidiff_tpu.vae.model import AutoencoderKL, SD_VAE_SCALING
+
+
+@dataclasses.dataclass(frozen=True)
+class RefinerPipelineConfig:
+    num_inference_steps: int = 50
+    eta: float = 0.0
+    clip_sample: bool = False          # `pretrain_denoiser.py:261-272`
+    clip_sample_range: float = 1.0     # test_refiner uses 3.0 (`:166-171`)
+    latent_size: int = 16
+    latent_channels: int = 4
+    scaling: float = SD_VAE_SCALING
+    sample_posterior: bool = True      # VAE encode samples vs mean
+
+
+def build_refiner_sampler(
+    refiner: FacialRefiner,
+    cr_model: CoarseRestoration,
+    vae: AutoencoderKL,
+    schedule: DiffusionSchedule,
+    config: RefinerPipelineConfig = RefinerPipelineConfig(),
+) -> Callable:
+    """Returns pure `sample(variables, lr_images, key) -> images[0,1]`.
+
+    variables = {"refiner": {params, batch_stats}, "cr": params,
+    "vae": params}. jit/shard at the call site (batch axis -> "data").
+    """
+
+    def sample(variables: dict, lr_images: jax.Array, key: jax.Array):
+        k_lat, k_enc = jax.random.split(key)
+        b = lr_images.shape[0]
+
+        cr_face = cr_model.apply({"params": variables["cr"]}, lr_images)
+        cr_in = jnp.clip(cr_face, 0.0, 1.0) * 2.0 - 1.0
+        if config.sample_posterior:
+            cr_latent = vae.apply(
+                {"params": variables["vae"]}, cr_in, key=k_enc, sample=True,
+                method=vae.encode) * config.scaling
+        else:
+            cr_latent = vae.apply(
+                {"params": variables["vae"]}, cr_in, sample=False,
+                method=vae.encode) * config.scaling
+
+        latents = jax.random.normal(
+            k_lat,
+            (b, config.latent_size, config.latent_size,
+             config.latent_channels))
+
+        # conditioning is t-independent: compute FPG priors + IDC embedding
+        # ONCE outside the scan (the reference recomputes them inside every
+        # DDIM step through FacialRefiner.forward, `test_refiner.py:87-91` —
+        # hoisting them is pure win, identical math).
+        refiner_vars = {"params": variables["refiner"]["params"],
+                        "batch_stats": variables["refiner"]["batch_stats"]}
+        priors = refiner.apply(refiner_vars, cr_latent,
+                               method=lambda m, z: m.fpg(z))
+        id_emb = refiner.apply(refiner_vars, cr_face,
+                               method=lambda m, f: m.idc(f, train=False))
+
+        def eps_fn(x, t):
+            return refiner.apply(
+                refiner_vars, x, t, priors, id_emb,
+                method=lambda m, x, t, p, e: m.denoiser(
+                    x, t, p, e, train=False))
+
+        final = sample_ddim(
+            eps_fn, latents, schedule,
+            num_inference_steps=config.num_inference_steps,
+            eta=config.eta, clip_sample=config.clip_sample,
+            clip_sample_range=config.clip_sample_range)
+
+        img = vae.apply({"params": variables["vae"]},
+                        final / config.scaling, method=vae.decode)
+        return jnp.clip((img + 1.0) * 0.5, 0.0, 1.0)
+
+    return sample
+
+
+def build_unconditional_sampler(
+    denoiser: Denoiser,
+    vae: AutoencoderKL,
+    schedule: DiffusionSchedule,
+    num_inference_steps: int = 50,
+    latent_size: int = 16,
+    latent_channels: int = 4,
+    scaling: float = SD_VAE_SCALING,
+    batch: int = 8,
+) -> Callable:
+    """Stage-3 sample grid generator (`pretrain_denoiser.py:76-121`), one jit."""
+
+    def sample(denoiser_params: Any, vae_params: Any, key: jax.Array):
+        latents = jax.random.normal(
+            key, (batch, latent_size, latent_size, latent_channels))
+
+        def eps_fn(x, t):
+            return denoiser.apply({"params": denoiser_params}, x, t)
+
+        final = sample_ddim(eps_fn, latents, schedule,
+                            num_inference_steps=num_inference_steps)
+        img = vae.apply({"params": vae_params}, final / scaling,
+                        method=vae.decode)
+        return jnp.clip((img + 1.0) * 0.5, 0.0, 1.0)
+
+    return sample
