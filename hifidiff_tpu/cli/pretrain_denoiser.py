@@ -1,0 +1,162 @@
+"""Stage-3 unconditional latent-DDPM pretraining CLI
+(reference `pretrain_denoiser.py`).
+
+Defaults mirror the reference (`pretrain_denoiser.py:20-46,261-280`):
+batch 512, AdamW 1e-4 + cosine schedule with 500 warmup steps, DDPM 1000
+scaled_linear epsilon-prediction, frozen SD-2.1 VAE (pass --vae-ckpt with a
+diffusers safetensors file), per-epoch DDIM-50 sample grid, seed 0.
+Data-parallel over all devices; gradient accumulation via --accum-steps.
+
+    python -m hifidiff_tpu.cli.pretrain_denoiser --multipie-root ... \
+        --celeba-root ... --vae-ckpt vae/diffusion_pytorch_model.safetensors
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hifidiff_tpu.cli.common import SyntheticFaceDataset, parse_config
+from hifidiff_tpu.data import (
+    CelebAHQDataset,
+    ConcatDataset,
+    Loader,
+    MultiPIEHQDataset,
+)
+from hifidiff_tpu.diffusion import DiffusionSchedule
+from hifidiff_tpu.models import Denoiser
+from hifidiff_tpu.parallel import make_mesh, replicated, shard_batch
+from hifidiff_tpu.pipeline import build_unconditional_sampler
+from hifidiff_tpu.train.checkpoint import CheckpointManager
+from hifidiff_tpu.train.optim import adamw_cosine
+from hifidiff_tpu.train.steps import TrainState, make_denoiser_train_step
+from hifidiff_tpu.utils.logging import MetricsLogger, StepTimer, save_image_grid
+from hifidiff_tpu.vae import AutoencoderKL, vae_params_from_torch
+
+
+@dataclasses.dataclass
+class Config:
+    name: str = "temp"
+    multipie_root: str = ""
+    celeba_root: str = ""
+    vae_ckpt: str = ""
+    num_epochs: int = 100
+    batch_size: int = 512
+    lr: float = 1e-4
+    warmup_steps: int = 500
+    accum_steps: int = 1
+    size: int = 128
+    sample_size: int = 8
+    # model-size knobs (defaults = reference architecture)
+    width: int = 128
+    enc_depths: str = "2,2,4,8"
+    mid_depth: int = 8
+    dec_depths: str = "2,2,2,2"
+    vae_blocks: str = "128,256,512,512"
+    vae_layers: int = 2
+    seed: int = 0
+    synthetic: int = 0
+    save_model_epoch: int = 10
+    save_image_epoch: int = 1
+    out_dir: str = "output/denoiser"
+    ckpt_dir: str = "checkpoints/denoiser"
+    use_wandb: bool = False
+    resume: bool = False
+
+
+def main(argv=None) -> None:
+    cfg = parse_config(Config, argv, "Stage-3 denoiser pretraining")
+    key = jax.random.PRNGKey(cfg.seed)
+
+    if cfg.synthetic:
+        train_ds = SyntheticFaceDataset(cfg.synthetic, cfg.size,
+                                        keys=("image",))
+    else:
+        parts = []
+        if cfg.multipie_root:
+            parts.append(MultiPIEHQDataset(cfg.multipie_root, size=cfg.size))
+        if cfg.celeba_root:
+            parts.append(CelebAHQDataset(cfg.celeba_root, size=cfg.size))
+        assert parts, "need --multipie-root and/or --celeba-root"
+        train_ds = ConcatDataset(parts)
+    train_loader = Loader(train_ds, cfg.batch_size, shuffle=True,
+                          seed=cfg.seed)
+
+    from hifidiff_tpu.cli.common import parse_ints
+
+    vae_blocks = parse_ints(cfg.vae_blocks)
+    latent = cfg.size // (2 ** (len(vae_blocks) - 1))
+    denoiser = Denoiser(width=cfg.width, enc_nums=parse_ints(cfg.enc_depths),
+                        mid_num=cfg.mid_depth,
+                        dec_nums=parse_ints(cfg.dec_depths))
+    vae = AutoencoderKL(block_out=vae_blocks, layers_per_block=cfg.vae_layers)
+    schedule = DiffusionSchedule.create()
+
+    dn_params = jax.jit(lambda k: denoiser.init(
+        k, jnp.zeros((1, latent, latent, 4)), jnp.zeros((1,))))(key)["params"]
+    if cfg.vae_ckpt:
+        from hifidiff_tpu.utils.torch_import import load_torch_file
+
+        vae_params = vae_params_from_torch(load_torch_file(cfg.vae_ckpt))
+        print(f"loaded VAE weights from {cfg.vae_ckpt}")
+    else:
+        print("[warn] no --vae-ckpt: frozen VAE is randomly initialized")
+        vae_params = vae.init(key,
+                              jnp.zeros((1, cfg.size, cfg.size, 3)))["params"]
+
+    total_steps = len(train_loader) * cfg.num_epochs
+    tx = adamw_cosine(cfg.lr, cfg.warmup_steps, total_steps,
+                      accumulate_steps=cfg.accum_steps)
+    state = TrainState.create(dn_params, tx)
+
+    ckpt = CheckpointManager(os.path.join(cfg.ckpt_dir, cfg.name))
+    start_epoch = 0
+    if cfg.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(template=state)["state"]
+        start_epoch = int(state.step) // max(1, len(train_loader))
+        print(f"resumed at step {int(state.step)} (epoch {start_epoch})")
+
+    mesh = make_mesh()
+    state = jax.device_put(state, replicated(mesh))
+    vae_params = jax.device_put(vae_params, replicated(mesh))
+    train_step = jax.jit(make_denoiser_train_step(denoiser, vae, schedule),
+                         donate_argnums=0)
+    sampler = jax.jit(build_unconditional_sampler(
+        denoiser, vae, schedule, latent_size=latent,
+        batch=cfg.sample_size))
+
+    logger = MetricsLogger("logs", "hifi_denoiser", cfg.name,
+                           use_wandb=cfg.use_wandb)
+    timer = StepTimer()
+    step = int(state.step)
+    for epoch in range(start_epoch, cfg.num_epochs):
+        losses = []
+        for batch in train_loader:
+            images = shard_batch(batch["image"], mesh)
+            state, metrics = train_step(state, vae_params, images,
+                                        jax.random.fold_in(key, step))
+            timer.tick()
+            losses.append(float(metrics["loss"]))
+            logger.log({"train_loss": metrics["loss"],
+                        "avg_train_loss": float(np.mean(losses)),
+                        "step_time": timer.mean, "epoch": epoch}, step)
+            step += 1
+
+        if epoch % cfg.save_model_epoch == 0 or epoch == cfg.num_epochs - 1:
+            ckpt.save(step, jax.device_get(state), wait=True)
+        if epoch % cfg.save_image_epoch == 0 or epoch == cfg.num_epochs - 1:
+            grid = sampler(state.params, vae_params,
+                           jax.random.fold_in(key, 10_000 + epoch))
+            save_image_grid(np.asarray(grid),
+                            os.path.join(cfg.out_dir, cfg.name,
+                                         f"{epoch}.png"))
+    ckpt.close()
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""IDC identity-verification eval CLI (reference `test_idc.py`).
+
+Per batch: sim_hf = cos(IDC(CR(lr)), IDC(gt)), sim_ck = cos(IDC(CR(lr)),
+IDC(other)); the reference counts a BATCH correct iff mean(sim_hf) >
+mean(sim_ck) (`test_idc.py:23-39`) — reported here as `batch_accuracy`,
+alongside the per-sample accuracy (`sample_accuracy`).
+
+    python -m hifidiff_tpu.cli.test_idc --cr-ckpt ... --idc-ckpt ... \
+        --dataroot /data/kface
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hifidiff_tpu.cli.common import SyntheticFaceDataset, parse_config
+from hifidiff_tpu.data import KFaceIDCDataset, Loader
+from hifidiff_tpu.eval.metrics import identity_cosine
+from hifidiff_tpu.models import CoarseRestoration, IDCEncoder
+from hifidiff_tpu.train.checkpoint import CheckpointManager
+
+
+@dataclasses.dataclass
+class Config:
+    dataroot: str = ""
+    cr_ckpt: str = ""
+    idc_ckpt: str = ""
+    batch_size: int = 8
+    size: int = 128
+    seed: int = 0
+    synthetic: int = 0
+
+
+def main(argv=None) -> None:
+    cfg = parse_config(Config, argv, "IDC identity verification eval")
+    key = jax.random.PRNGKey(cfg.seed)
+    from hifidiff_tpu.utils import torch_import as ti
+
+    cr = CoarseRestoration(resolution=cfg.size)
+    if cfg.cr_ckpt:
+        cr_params = ti.cr_params(ti.load_torch_file(cfg.cr_ckpt)) \
+            if cfg.cr_ckpt.endswith((".pt", ".pth", ".safetensors")) \
+            else CheckpointManager(cfg.cr_ckpt).restore()["state"]["params"]
+    else:
+        print("[warn] random CR weights")
+        cr_params = jax.jit(cr.init)(
+            key, jnp.zeros((1, cfg.size, cfg.size, 3)))["params"]
+
+    idc = IDCEncoder()
+    if cfg.idc_ckpt:
+        if cfg.idc_ckpt.endswith((".pt", ".pth", ".safetensors")):
+            p, s = ti.resnet50_params(ti.load_torch_file(cfg.idc_ckpt))
+        else:
+            st = CheckpointManager(cfg.idc_ckpt).restore()["state"]
+            p, s = st["params"], st["batch_stats"]
+    else:
+        print("[warn] random IDC weights")
+        v = jax.jit(lambda k: idc.init(
+            k, jnp.zeros((1, cfg.size, cfg.size, 3)), train=False))(key)
+        p, s = v["params"], v["batch_stats"]
+
+    if cfg.synthetic:
+        ds = SyntheticFaceDataset(cfg.synthetic, cfg.size,
+                                  keys=("lr", "gt", "other"))
+    else:
+        ds = KFaceIDCDataset(cfg.dataroot, split="test", size=cfg.size)
+    loader = Loader(ds, cfg.batch_size, shuffle=False)
+
+    @jax.jit
+    def embeddings(batch):
+        face = cr.apply({"params": cr_params}, batch["lr"])
+        v = {"params": p, "batch_stats": s}
+        return (idc.apply(v, face, train=False),
+                idc.apply(v, batch["gt"], train=False),
+                idc.apply(v, batch["other"], train=False))
+
+    batch_correct, sample_correct, n_samples = 0, 0, 0
+    n_batches = 0
+    for batch in loader:
+        a, pos, neg = embeddings({k: jnp.asarray(v)
+                                  for k, v in batch.items()})
+        sim_hf = np.asarray(identity_cosine(a, pos))
+        sim_ck = np.asarray(identity_cosine(a, neg))
+        batch_correct += int(sim_hf.mean() > sim_ck.mean())
+        sample_correct += int((sim_hf > sim_ck).sum())
+        n_samples += len(sim_hf)
+        n_batches += 1
+        print(f"({n_batches}/{len(loader)}) CR-HF vs. CR-CK: "
+              f"{sim_hf.mean():.4f} {sim_ck.mean():.4f} "
+              f"{'OK' if sim_hf.mean() > sim_ck.mean() else 'X'}")
+
+    print(f"test accuracy (batch-mean, reference convention): "
+          f"{batch_correct / max(1, n_batches):.4f}")
+    print(f"test accuracy (per-sample): "
+          f"{sample_correct / max(1, n_samples):.4f}")
+
+
+if __name__ == "__main__":
+    main()

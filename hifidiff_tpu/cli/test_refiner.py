@@ -1,0 +1,146 @@
+"""Full-pipeline eval CLI (reference `test_refiner.py`).
+
+DDIM-50 sampling with the reference's eval scheduler config (clip_sample
+with range 3.0, `test_refiner.py:166-171`), per-sample min-max
+normalization of prediction AND ground truth before metrics (`:113-119`),
+PSNR/SSIM always (+ LPIPS/NIQE when model files are provided), image grids
+every `grid_every` batches. Note: the reference's `:89` drops `.sample` on
+the model output — a latent-space bug we do not reproduce.
+
+    python -m hifidiff_tpu.cli.test_refiner --refiner-ckpt ... --cr-ckpt ... \
+        --vae-ckpt ... --dataroot /data/kface
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hifidiff_tpu.cli.common import SyntheticFaceDataset, parse_config
+from hifidiff_tpu.data import KFaceDataset, Loader
+from hifidiff_tpu.diffusion import DiffusionSchedule
+from hifidiff_tpu.eval.metrics import min_max_normalize, psnr, ssim
+from hifidiff_tpu.models import CoarseRestoration, FacialRefiner
+from hifidiff_tpu.pipeline import (
+    RefinerPipelineConfig,
+    build_refiner_sampler,
+)
+from hifidiff_tpu.train.checkpoint import (
+    CheckpointManager,
+    compose_refiner_params,
+)
+from hifidiff_tpu.utils.logging import save_image_grid, side_by_side
+from hifidiff_tpu.vae import AutoencoderKL, vae_params_from_torch
+
+
+@dataclasses.dataclass
+class Config:
+    dataroot: str = ""
+    refiner_ckpt: str = ""
+    cr_ckpt: str = ""
+    vae_ckpt: str = ""
+    batch_size: int = 4
+    size: int = 128
+    num_inference_steps: int = 50
+    clip_sample_range: float = 3.0
+    seed: int = 0
+    synthetic: int = 0
+    grid_every: int = 10
+    out_dir: str = "output/test_refiner"
+    niqe_model: str = ""        # .npz with mu/cov from eval.niqe.fit_niqe_model
+
+
+def main(argv=None) -> None:
+    cfg = parse_config(Config, argv, "Full-pipeline eval")
+    key = jax.random.PRNGKey(cfg.seed)
+    latent = cfg.size // 8
+    from hifidiff_tpu.utils import torch_import as ti
+
+    cr = CoarseRestoration(resolution=cfg.size)
+    vae = AutoencoderKL()
+    refiner = FacialRefiner(latent_size=latent)
+    schedule = DiffusionSchedule.create()
+
+    init_vars = jax.jit(lambda k: refiner.init(
+        k, jnp.zeros((1, latent, latent, 4)), jnp.zeros((1,)),
+        jnp.zeros((1, cfg.size, cfg.size, 3)),
+        jnp.zeros((1, latent, latent, 4)), train=False))(key)
+    if cfg.refiner_ckpt:
+        if cfg.refiner_ckpt.endswith(".safetensors"):
+            variables = compose_refiner_params(
+                jax.device_get(init_vars), denoiser_ckpt=cfg.refiner_ckpt)
+        else:
+            st = CheckpointManager(cfg.refiner_ckpt).restore()["state"]
+            variables = {"params": st["params"],
+                         "batch_stats": st["batch_stats"]}
+    else:
+        print("[warn] random refiner weights")
+        variables = {"params": init_vars["params"],
+                     "batch_stats": init_vars.get("batch_stats", {})}
+
+    if cfg.cr_ckpt:
+        cr_params = ti.cr_params(ti.load_torch_file(cfg.cr_ckpt)) \
+            if cfg.cr_ckpt.endswith((".pt", ".pth", ".safetensors")) \
+            else CheckpointManager(cfg.cr_ckpt).restore()["state"]["params"]
+    else:
+        print("[warn] random CR weights")
+        cr_params = jax.jit(cr.init)(
+            key, jnp.zeros((1, cfg.size, cfg.size, 3)))["params"]
+    if cfg.vae_ckpt:
+        vae_params = vae_params_from_torch(ti.load_torch_file(cfg.vae_ckpt))
+    else:
+        print("[warn] random VAE weights")
+        vae_params = vae.init(key,
+                              jnp.zeros((1, cfg.size, cfg.size, 3)))["params"]
+
+    sampler = jax.jit(build_refiner_sampler(
+        refiner, cr, vae, schedule,
+        RefinerPipelineConfig(
+            num_inference_steps=cfg.num_inference_steps,
+            clip_sample=True, clip_sample_range=cfg.clip_sample_range)))
+    sample_vars = {"refiner": variables, "cr": cr_params, "vae": vae_params}
+
+    if cfg.synthetic:
+        ds = SyntheticFaceDataset(cfg.synthetic, cfg.size,
+                                  keys=("lr", "gt", "patches"))
+    else:
+        ds = KFaceDataset(cfg.dataroot, split="val", size=cfg.size)
+    loader = Loader(ds, cfg.batch_size, shuffle=False)
+
+    niqe_fn = None
+    if cfg.niqe_model and os.path.exists(cfg.niqe_model):
+        from hifidiff_tpu.eval.niqe import niqe
+
+        m = np.load(cfg.niqe_model)
+        niqe_fn = lambda im: niqe(im, m["mu"], m["cov"])  # noqa: E731
+
+    psnrs, ssims, niqes = [], [], []
+    for i, batch in enumerate(loader):
+        pred = sampler(sample_vars, jnp.asarray(batch["lr"]),
+                       jax.random.fold_in(key, i))
+        pred_n = min_max_normalize(pred)
+        gt_n = min_max_normalize(jnp.asarray(batch["gt"]))
+        psnrs.append(float(psnr(pred_n, gt_n)))
+        ssims.append(float(ssim(pred_n, gt_n)))
+        if niqe_fn is not None:
+            niqes.extend(niqe_fn(np.asarray(p)) for p in pred_n)
+        if cfg.grid_every and i % cfg.grid_every == 0:
+            save_image_grid(
+                side_by_side(np.asarray(batch["lr"]), np.asarray(pred),
+                             np.asarray(batch["gt"])),
+                os.path.join(cfg.out_dir, f"batch_{i}.png"))
+        print(f"({i + 1}/{len(loader)}) psnr={psnrs[-1]:.3f} "
+              f"ssim={ssims[-1]:.4f}", flush=True)
+
+    print(f"PSNR: {np.mean(psnrs):.4f}")
+    print(f"SSIM: {np.mean(ssims):.4f}")
+    if niqes:
+        print(f"NIQE: {np.mean(niqes):.4f}")
+
+
+if __name__ == "__main__":
+    main()

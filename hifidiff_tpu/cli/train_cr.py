@@ -1,0 +1,148 @@
+"""Stage-1 CR training CLI (reference `train_cr.py`).
+
+Defaults mirror the reference flags (`train_cr.py:15-48`): 24 epochs,
+Adam lr 5e-4, batch 8, cr_loss = MSE + key-region MSE, `[lr|pred|gt]` image
+dumps every `dump_every` batches, checkpoint every 5 epochs. Runs data-
+parallel over all visible devices.
+
+    python -m hifidiff_tpu.cli.train_cr --dataroot /data/multipie --synthetic 0
+    python -m hifidiff_tpu.cli.train_cr --synthetic 64   # smoke on random data
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hifidiff_tpu.cli.common import SyntheticFaceDataset, parse_config
+from hifidiff_tpu.data import Loader, MultiPIEDataset
+from hifidiff_tpu.models import CoarseRestoration
+from hifidiff_tpu.parallel import make_mesh, replicated, shard_batch
+from hifidiff_tpu.train.checkpoint import CheckpointManager
+from hifidiff_tpu.train.optim import adam
+from hifidiff_tpu.train.steps import (
+    TrainState,
+    make_cr_eval_step,
+    make_cr_train_step,
+)
+from hifidiff_tpu.utils.logging import (
+    MetricsLogger,
+    StepTimer,
+    save_image_grid,
+    side_by_side,
+)
+
+
+@dataclasses.dataclass
+class Config:
+    name: str = "temp"
+    dataroot: str = ""
+    model_type: str = "uni"
+    num_epochs: int = 24
+    batch_size: int = 8
+    lr: float = 5e-4
+    size: int = 128
+    width: int = 32
+    enc_depths: str = "2,2,4,8"
+    mid_depth: int = 8
+    seed: int = 0
+    synthetic: int = 0          # >0: use N synthetic samples (smoke mode)
+    save_epoch: int = 5
+    dump_every: int = 100
+    out_dir: str = "output/cr"
+    ckpt_dir: str = "checkpoints/cr"
+    use_wandb: bool = False
+    resume: bool = False
+
+
+def build_datasets(cfg: Config):
+    if cfg.synthetic:
+        mk = lambda n: SyntheticFaceDataset(  # noqa: E731
+            n, cfg.size, keys=("lr", "gt", "patches"))
+        return mk(cfg.synthetic), mk(max(4, cfg.synthetic // 4))
+    train = MultiPIEDataset(cfg.dataroot, split="train",
+                            model_type=cfg.model_type, size=cfg.size,
+                            use_blind=True, use_patch=True, seed=cfg.seed)
+    val = MultiPIEDataset(cfg.dataroot, split="test",
+                          model_type=cfg.model_type, size=cfg.size,
+                          use_blind=False, use_patch=True, seed=cfg.seed)
+    return train, val
+
+
+def main(argv=None) -> None:
+    cfg = parse_config(Config, argv, "Stage-1 CR training")
+    key = jax.random.PRNGKey(cfg.seed)
+    train_ds, val_ds = build_datasets(cfg)
+    train_loader = Loader(train_ds, cfg.batch_size, shuffle=True,
+                          seed=cfg.seed)
+    val_loader = Loader(val_ds, cfg.batch_size, shuffle=False)
+
+    from hifidiff_tpu.cli.common import parse_ints
+
+    enc_nums = parse_ints(cfg.enc_depths)
+    model = CoarseRestoration(width=cfg.width, resolution=cfg.size,
+                              enc_nums=enc_nums, mid_num=cfg.mid_depth,
+                              dec_nums=(2,) * len(enc_nums))
+    params = jax.jit(model.init)(
+        key, jnp.zeros((1, cfg.size, cfg.size, 3)))["params"]
+    state = TrainState.create(params, adam(cfg.lr))
+
+    ckpt = CheckpointManager(os.path.join(cfg.ckpt_dir, cfg.name))
+    start_epoch = 0
+    if cfg.resume and ckpt.latest_step() is not None:
+        restored = ckpt.restore(template=state)
+        state = restored["state"]
+        start_epoch = int(state.step) // max(1, len(train_loader))
+        print(f"resumed at step {int(state.step)} (epoch {start_epoch})")
+
+    mesh = make_mesh()
+    state = jax.device_put(state, replicated(mesh))
+    train_step = jax.jit(make_cr_train_step(model), donate_argnums=0)
+    eval_step = jax.jit(make_cr_eval_step(model))
+
+    logger = MetricsLogger("logs", "hifi_cr", cfg.name,
+                           use_wandb=cfg.use_wandb)
+    timer = StepTimer()
+    step = int(state.step)
+    for epoch in range(start_epoch, cfg.num_epochs):
+        for i, batch in enumerate(train_loader):
+            batch = shard_batch(batch, mesh)
+            state, metrics = train_step(state, batch,
+                                        jax.random.fold_in(key, step))
+            timer.tick()
+            logger.log({"train_loss": metrics["loss"],
+                        "step_time": timer.mean, "epoch": epoch}, step)
+            if cfg.dump_every and i % cfg.dump_every == 0:
+                pred, _ = eval_step(state.params, batch)
+                save_image_grid(
+                    side_by_side(np.asarray(batch["lr"]), np.asarray(pred),
+                                 np.asarray(batch["gt"])),
+                    os.path.join(cfg.out_dir, cfg.name,
+                                 f"train_e{epoch}_b{i}.png"))
+            step += 1
+
+        val_losses = []
+        for i, batch in enumerate(val_loader):
+            batch = shard_batch(batch, mesh)
+            pred, m = eval_step(state.params, batch)
+            val_losses.append(float(m["loss"]))
+            if cfg.dump_every and i % cfg.dump_every == 0:
+                save_image_grid(
+                    side_by_side(np.asarray(batch["lr"]), np.asarray(pred),
+                                 np.asarray(batch["gt"])),
+                    os.path.join(cfg.out_dir, cfg.name,
+                                 f"val_e{epoch}_b{i}.png"))
+        logger.log({"val_loss": float(np.mean(val_losses))}, step)
+
+        if epoch % cfg.save_epoch == 0 or epoch == cfg.num_epochs - 1:
+            ckpt.save(step, jax.device_get(state), wait=True)
+    ckpt.close()
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

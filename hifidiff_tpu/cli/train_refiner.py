@@ -1,0 +1,210 @@
+"""Stage-4 full-pipeline refiner training CLI (reference `train_refiner.py`).
+
+Composition per `models/refiner.py:10-30` + `train_refiner.py:302-431`:
+FacialRefiner(IDC + FusedDenoiser + FPG) with IDC weights from stage 2,
+denoiser+FPG from stage 3 (strict=False overlay), denoiser intro+encoders
+frozen; frozen CR (stage 1) and frozen VAE feed the conditioning. Val runs
+the single-program DDIM-50 sampler and PSNR/SSIM (LPIPS/NIQE when their
+model files are supplied).
+
+    python -m hifidiff_tpu.cli.train_refiner --dataroot ... --vae-ckpt ... \
+        --cr-ckpt ... --idc-ckpt ... --denoiser-ckpt ...
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hifidiff_tpu.cli.common import SyntheticFaceDataset, parse_config
+from hifidiff_tpu.data import Loader, MultiPIEDataset
+from hifidiff_tpu.diffusion import DiffusionSchedule
+from hifidiff_tpu.eval.metrics import min_max_normalize, psnr, ssim
+from hifidiff_tpu.models import CoarseRestoration, FacialRefiner
+from hifidiff_tpu.parallel import make_mesh, replicated, shard_batch
+from hifidiff_tpu.pipeline import (
+    RefinerPipelineConfig,
+    build_refiner_sampler,
+)
+from hifidiff_tpu.train.checkpoint import (
+    CheckpointManager,
+    compose_refiner_params,
+)
+from hifidiff_tpu.train.optim import adamw_cosine, masked, refiner_freeze_mask
+from hifidiff_tpu.train.steps import TrainState, make_refiner_train_step
+from hifidiff_tpu.utils.logging import (
+    MetricsLogger,
+    StepTimer,
+    save_image_grid,
+    side_by_side,
+)
+from hifidiff_tpu.vae import AutoencoderKL, vae_params_from_torch
+
+
+@dataclasses.dataclass
+class Config:
+    name: str = "temp"
+    dataroot: str = ""
+    vae_ckpt: str = ""
+    cr_ckpt: str = ""
+    idc_ckpt: str = ""
+    denoiser_ckpt: str = ""
+    model_type: str = "uni"
+    num_epochs: int = 100
+    batch_size: int = 32
+    lr: float = 1e-4
+    warmup_steps: int = 500
+    accum_steps: int = 1
+    size: int = 128
+    num_inference_steps: int = 50
+    # model-size knobs (defaults = reference architecture)
+    width: int = 128
+    enc_depths: str = "2,2,4,8"
+    mid_depth: int = 8
+    dec_depths: str = "2,2,2,2"
+    idc_stages: str = "3,4,6,3"
+    cr_width: int = 32
+    cr_enc_depths: str = "2,2,4,8"
+    vae_blocks: str = "128,256,512,512"
+    vae_layers: int = 2
+    seed: int = 0
+    synthetic: int = 0
+    save_epoch: int = 5
+    out_dir: str = "output/refiner"
+    ckpt_dir: str = "checkpoints/refiner"
+    use_wandb: bool = False
+    resume: bool = False
+
+
+def main(argv=None) -> None:
+    cfg = parse_config(Config, argv, "Stage-4 refiner training")
+    key = jax.random.PRNGKey(cfg.seed)
+    from hifidiff_tpu.cli.common import parse_ints
+
+    vae_blocks = parse_ints(cfg.vae_blocks)
+    latent = cfg.size // (2 ** (len(vae_blocks) - 1))
+
+    if cfg.synthetic:
+        mk = lambda n: SyntheticFaceDataset(  # noqa: E731
+            n, cfg.size, keys=("lr", "gt"))
+        train_ds, val_ds = mk(cfg.synthetic), mk(max(4, cfg.synthetic // 4))
+    else:
+        train_ds = MultiPIEDataset(cfg.dataroot, split="train",
+                                   model_type=cfg.model_type, size=cfg.size,
+                                   use_blind=True, seed=cfg.seed)
+        val_ds = MultiPIEDataset(cfg.dataroot, split="test",
+                                 model_type=cfg.model_type, size=cfg.size,
+                                 use_blind=False, seed=cfg.seed)
+    train_loader = Loader(train_ds, cfg.batch_size, shuffle=True,
+                          seed=cfg.seed)
+    val_loader = Loader(val_ds, cfg.batch_size, shuffle=False)
+
+    cr = CoarseRestoration(width=cfg.cr_width, resolution=cfg.size,
+                           enc_nums=parse_ints(cfg.cr_enc_depths),
+                           dec_nums=(2,) * len(parse_ints(cfg.cr_enc_depths)))
+    vae = AutoencoderKL(block_out=vae_blocks, layers_per_block=cfg.vae_layers)
+    refiner = FacialRefiner(latent_size=latent, width=cfg.width,
+                            enc_nums=parse_ints(cfg.enc_depths),
+                            mid_num=cfg.mid_depth,
+                            dec_nums=parse_ints(cfg.dec_depths),
+                            idc_stage_sizes=parse_ints(cfg.idc_stages))
+    schedule = DiffusionSchedule.create()
+
+    # frozen stage-1 CR + frozen VAE
+    from hifidiff_tpu.utils import torch_import as ti
+
+    if cfg.cr_ckpt:
+        cr_params = ti.cr_params(ti.load_torch_file(cfg.cr_ckpt)) \
+            if cfg.cr_ckpt.endswith((".pt", ".pth", ".safetensors")) \
+            else CheckpointManager(cfg.cr_ckpt).restore()["state"]["params"]
+    else:
+        print("[warn] no --cr-ckpt: random CR")
+        cr_params = jax.jit(cr.init)(
+            key, jnp.zeros((1, cfg.size, cfg.size, 3)))["params"]
+    if cfg.vae_ckpt:
+        vae_params = vae_params_from_torch(ti.load_torch_file(cfg.vae_ckpt))
+    else:
+        print("[warn] no --vae-ckpt: random VAE")
+        vae_params = vae.init(key,
+                              jnp.zeros((1, cfg.size, cfg.size, 3)))["params"]
+
+    init_vars = jax.jit(lambda k: refiner.init(
+        k, jnp.zeros((1, latent, latent, 4)), jnp.zeros((1,)),
+        jnp.zeros((1, cfg.size, cfg.size, 3)),
+        jnp.zeros((1, latent, latent, 4)), train=True))(key)
+    variables = compose_refiner_params(
+        jax.device_get(init_vars),
+        idc_ckpt=cfg.idc_ckpt or None,
+        denoiser_ckpt=cfg.denoiser_ckpt or None)
+
+    mask = refiner_freeze_mask(variables["params"])
+    total_steps = len(train_loader) * cfg.num_epochs
+    tx = masked(adamw_cosine(cfg.lr, cfg.warmup_steps, total_steps,
+                             accumulate_steps=cfg.accum_steps), mask)
+    state = TrainState.create(variables["params"], tx,
+                              batch_stats=variables.get("batch_stats", {}))
+
+    ckpt = CheckpointManager(os.path.join(cfg.ckpt_dir, cfg.name))
+    start_epoch = 0
+    if cfg.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(template=state)["state"]
+        start_epoch = int(state.step) // max(1, len(train_loader))
+
+    mesh = make_mesh()
+    state = jax.device_put(state, replicated(mesh))
+    frozen = jax.device_put({"cr": cr_params, "vae": vae_params},
+                            replicated(mesh))
+    train_step = jax.jit(make_refiner_train_step(refiner, cr, vae, schedule),
+                         donate_argnums=0)
+    sampler = jax.jit(build_refiner_sampler(
+        refiner, cr, vae, schedule,
+        RefinerPipelineConfig(num_inference_steps=cfg.num_inference_steps)))
+
+    logger = MetricsLogger("logs", "hifi_refiner", cfg.name,
+                           use_wandb=cfg.use_wandb)
+    timer = StepTimer()
+    step = int(state.step)
+    for epoch in range(start_epoch, cfg.num_epochs):
+        for batch in train_loader:
+            batch = shard_batch({"lr": batch["lr"], "gt": batch["gt"]}, mesh)
+            state, metrics = train_step(state, frozen, batch,
+                                        jax.random.fold_in(key, step))
+            timer.tick()
+            logger.log({"train_loss": metrics["loss"],
+                        "step_time": timer.mean, "epoch": epoch}, step)
+            step += 1
+
+        # validation: full DDIM sampling + metrics (train_refiner.py:212-299)
+        psnrs, ssims = [], []
+        for i, batch in enumerate(val_loader):
+            sample_vars = {
+                "refiner": {"params": state.params,
+                            "batch_stats": state.batch_stats},
+                "cr": frozen["cr"], "vae": frozen["vae"],
+            }
+            pred = sampler(sample_vars, jnp.asarray(batch["lr"]),
+                           jax.random.fold_in(key, 50_000 + i))
+            pred_n = min_max_normalize(pred)
+            gt_n = min_max_normalize(jnp.asarray(batch["gt"]))
+            psnrs.append(float(psnr(pred_n, gt_n)))
+            ssims.append(float(ssim(pred_n, gt_n)))
+            if i == 0:
+                save_image_grid(
+                    side_by_side(np.asarray(batch["lr"]), np.asarray(pred),
+                                 np.asarray(batch["gt"])),
+                    os.path.join(cfg.out_dir, cfg.name, f"val_e{epoch}.png"))
+        logger.log({"val_psnr": float(np.mean(psnrs)),
+                    "val_ssim": float(np.mean(ssims))}, step)
+
+        if epoch % cfg.save_epoch == 0 or epoch == cfg.num_epochs - 1:
+            ckpt.save(step, jax.device_get(state), wait=True)
+    ckpt.close()
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

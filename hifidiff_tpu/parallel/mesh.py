@@ -51,6 +51,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(tree, mesh: Mesh):
-    """Device-put every leaf with its leading axis split over "data"."""
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), tree)
+    """Device-put every leaf with its leading axis split over "data".
+
+    A leaf whose leading dim is not divisible by the data-axis size (e.g. a
+    ragged final eval batch) is replicated instead — correctness first; pad
+    to a multiple of the mesh for full throughput."""
+    n_data = mesh.shape["data"]
+
+    def put(x):
+        if np.ndim(x) >= 1 and np.shape(x)[0] % n_data == 0:
+            return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree_util.tree_map(put, tree)

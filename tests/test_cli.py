@@ -1,0 +1,98 @@
+"""CLI smoke tests on synthetic data with tiny model configs (the reference
+ships no runnable tests at all — SURVEY.md §4)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from hifidiff_tpu.cli.common import (
+    SyntheticFaceDataset,
+    parse_config,
+    parse_ints,
+)
+from hifidiff_tpu.data import ConcatDataset, Loader
+
+
+class TestCommon:
+    def test_parse_ints(self):
+        assert parse_ints("2,2,4,8") == (2, 2, 4, 8)
+        assert parse_ints("1") == (1,)
+
+    def test_synthetic_dataset_keys(self):
+        ds = SyntheticFaceDataset(4, 32, keys=("lr", "gt", "patches"))
+        s = ds[0]
+        assert s["lr"].shape == (32, 32, 3)
+        assert s["patches"].shape == (4, 32, 32, 3)
+        # deterministic per index
+        np.testing.assert_allclose(ds[1]["lr"], ds[1]["lr"])
+
+    def test_loader_batching_and_order(self):
+        ds = SyntheticFaceDataset(10, 8, keys=("lr",))
+        loader = Loader(ds, 4, shuffle=False)
+        batches = list(loader)
+        assert [b["lr"].shape[0] for b in batches] == [4, 4, 2]
+        loader2 = Loader(ds, 4, shuffle=False, drop_last=True)
+        assert [b["lr"].shape[0] for b in loader2] == [4, 4]
+
+    def test_loader_shuffle_seeded(self):
+        ds = SyntheticFaceDataset(16, 4, keys=("lr",))
+        l1 = list(Loader(ds, 16, shuffle=True, seed=5))[0]["lr"]
+        l2 = list(Loader(ds, 16, shuffle=True, seed=5))[0]["lr"]
+        np.testing.assert_allclose(l1, l2)
+
+    def test_concat_dataset(self):
+        a = SyntheticFaceDataset(3, 4, keys=("image",), seed=1)
+        b = SyntheticFaceDataset(5, 4, keys=("image",), seed=2)
+        c = ConcatDataset([a, b])
+        assert len(c) == 8
+        np.testing.assert_allclose(c[3]["image"], b[0]["image"])
+
+
+class TestTrainCRSmoke:
+    def test_one_epoch_synthetic(self, tmp_path):
+        from hifidiff_tpu.cli import train_cr
+
+        train_cr.main([
+            "--synthetic", "8", "--batch-size", "8", "--num-epochs", "1",
+            "--size", "32", "--width", "8", "--enc-depths", "1,1",
+            "--mid-depth", "1", "--dump-every", "0",
+            "--out-dir", str(tmp_path / "out"),
+            "--ckpt-dir", str(tmp_path / "ckpt"),
+        ])
+        # a checkpoint must exist
+        assert os.path.isdir(tmp_path / "ckpt" / "temp")
+
+
+class TestPretrainDenoiserSmoke:
+    def test_one_epoch_synthetic(self, tmp_path):
+        from hifidiff_tpu.cli import pretrain_denoiser
+
+        pretrain_denoiser.main([
+            "--synthetic", "8", "--batch-size", "8", "--num-epochs", "1",
+            "--size", "32", "--width", "16", "--enc-depths", "1,1",
+            "--mid-depth", "1", "--dec-depths", "1,1",
+            "--vae-blocks", "32,32,32", "--vae-layers", "1",
+            "--sample-size", "4", "--save-image-epoch", "1",
+            "--out-dir", str(tmp_path / "out"),
+            "--ckpt-dir", str(tmp_path / "ckpt"),
+        ])
+        assert os.path.exists(tmp_path / "out" / "temp" / "0.png")
+
+
+class TestInferCRSmoke:
+    def test_single_image(self, tmp_path):
+        from PIL import Image
+
+        from hifidiff_tpu.cli import infer_cr
+
+        img_path = str(tmp_path / "face.png")
+        Image.fromarray(
+            (np.random.default_rng(0).uniform(0, 255, (64, 64, 3)))
+            .astype(np.uint8)).save(img_path)
+        out_path = str(tmp_path / "out.png")
+        infer_cr.main(["--image", img_path, "--output", out_path,
+                       "--size", "32", "--width", "8",
+                       "--enc-depths", "1,1", "--mid-depth", "1"])
+        assert os.path.exists(out_path)
