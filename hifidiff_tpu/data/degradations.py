@@ -84,15 +84,29 @@ def blind_degrade(rng: np.random.Generator, img: np.ndarray,
     channelwise ops only except to-gray): blur -> downsample U(1,8) ->
     noise -> JPEG -> resize back (`dataset_multipie.py:104-146`; color
     jitter/to-gray are applied by the caller because jitter is joint with
-    the GT)."""
+    the GT).
+
+    Uses the C++ core (native/src/hifidiff_native.cc) when built — the
+    blur+downsample+noise stage is one fused native pass; JPEG stays on
+    cv2's codec either way."""
+    from hifidiff_tpu.data import native
+
     ksize = int(rng.integers(4, 6)) * 2 + 1  # 9 or 11
     kernel = random_mixed_kernel(rng, ksize)
-    img = cv2.filter2D(img, -1, kernel)
-
     scale = rng.uniform(1.0, 8.0)
     small = int(128 // scale)
+    sigma = rng.uniform(0.0, 5.0) / 255.0
+
+    if native.available():
+        img = native.degrade_stage1(img, kernel, (small, small), sigma,
+                                    int(rng.integers(0, 2 ** 62)))
+        img = jpeg_roundtrip(rng, img)
+        return native.resize(img, (size, size), cubic=False)
+
+    img = cv2.filter2D(img, -1, kernel)
     img = cv2.resize(img, (small, small), interpolation=cv2.INTER_LINEAR)
-    img = add_gaussian_noise(rng, img)
+    noise = rng.standard_normal(img.shape).astype(np.float32) * sigma
+    img = np.clip(img + noise, 0.0, 1.0)
     img = jpeg_roundtrip(rng, img)
     return cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
 

@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from hifidiff_tpu.ops.norm import layer_norm_2d
+from hifidiff_tpu.ops.norm import layer_norm_2d, ln_film
 
 # U(-1/sqrt(fan_in), 1/sqrt(fan_in)) == variance_scaling(1/3, fan_in, uniform)
 torch_conv_kernel_init = jax.nn.initializers.variance_scaling(
@@ -37,16 +37,20 @@ class LayerNorm2d(nn.Module):
     """Channel LayerNorm over NHWC's last axis (reference `utils.py:45-54`).
 
     Normalization math is always float32 for stability under bf16 compute;
-    the output is cast back to the input dtype.
+    the output is cast back to the input dtype. With `scale`/`shift` given
+    ((B, C) FiLM conditioning), dispatches to the fused Pallas LN+FiLM
+    kernel on TPU.
     """
 
     channels: int
     eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, scale=None, shift=None):
         weight = self.param("weight", nn.initializers.ones, (self.channels,))
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        if scale is not None:
+            return ln_film(x, weight, bias, scale, shift, self.eps)
         out = layer_norm_2d(
             x.astype(jnp.float32), weight.astype(jnp.float32),
             bias.astype(jnp.float32), self.eps,

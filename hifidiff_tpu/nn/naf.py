@@ -92,12 +92,11 @@ class ConditionalNAFBlock(nn.Module):
         film = TorchDense(4 * c, dtype=self.dtype, name="time_proj")(
             simple_gate(t)
         )
-        film = film[:, None, None, :]
-        shift_att, scale_att, shift_ffn, scale_ffn = jnp.split(film, 4, axis=-1)
+        shift_att, scale_att, shift_ffn, scale_ffn = jnp.split(film, 4,
+                                                               axis=-1)
 
         inp = x
-        x = LayerNorm2d(c, name="norm1")(x)
-        x = x * (scale_att + 1.0) + shift_att
+        x = LayerNorm2d(c, name="norm1")(x, scale=scale_att, shift=shift_att)
         x = TorchConv(dw, (1, 1), dtype=self.dtype, name="conv1")(x)
         x = TorchConv(dw, (3, 3), padding=1, feature_group_count=dw,
                       dtype=self.dtype, name="conv2")(x)
@@ -108,8 +107,7 @@ class ConditionalNAFBlock(nn.Module):
         beta = self.param("beta", nn.initializers.zeros, (c,))
         y = inp + x * beta.astype(x.dtype)
 
-        x = LayerNorm2d(c, name="norm2")(y)
-        x = x * (scale_ffn + 1.0) + shift_ffn
+        x = LayerNorm2d(c, name="norm2")(y, scale=scale_ffn, shift=shift_ffn)
         x = TorchConv(ffn, (1, 1), dtype=self.dtype, name="conv4")(x)
         x = simple_gate(x)
         x = TorchConv(c, (1, 1), dtype=self.dtype, name="conv5")(x)

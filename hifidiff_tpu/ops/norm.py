@@ -62,3 +62,36 @@ def layer_norm_2d(x: jax.Array, weight: jax.Array, bias: jax.Array,
       eps: added to the biased variance before rsqrt (reference uses 1e-6).
     """
     return _layer_norm_2d(x, weight, bias, eps)
+
+
+def _pallas_eligible(x: jax.Array) -> bool:
+    import os
+
+    if os.environ.get("HIFIDIFF_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False  # CPU uses the jnp path (interpret mode is test-only)
+    return (x.ndim == 4 and x.shape[-1] % 128 == 0
+            and (x.shape[1] * x.shape[2]) % 8 == 0)
+
+
+def ln_film(x: jax.Array, weight: jax.Array, bias: jax.Array,
+            scale: jax.Array, shift: jax.Array,
+            eps: float = 1e-6) -> jax.Array:
+    """Fused LayerNorm2d + FiLM: `(LN(x)*w+b) * (1+scale) + shift` with
+    per-sample (B, C) scale/shift. Dispatches to the Pallas TPU kernel when
+    shapes allow, else the jnp/custom-VJP path."""
+    if _pallas_eligible(x):
+        from hifidiff_tpu.ops.pallas.ln_film import ln_film_pallas
+
+        out = ln_film_pallas(x.astype(jnp.float32),
+                             weight.astype(jnp.float32),
+                             bias.astype(jnp.float32),
+                             scale.astype(jnp.float32),
+                             shift.astype(jnp.float32), eps)
+        return out.astype(x.dtype)
+    out = _layer_norm_2d(x.astype(jnp.float32), weight.astype(jnp.float32),
+                         bias.astype(jnp.float32), eps)
+    out = (out * (1.0 + scale[:, None, None, :].astype(jnp.float32))
+           + shift[:, None, None, :].astype(jnp.float32))
+    return out.astype(x.dtype)

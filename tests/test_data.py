@@ -1,0 +1,132 @@
+"""Dataset semantics tests over synthetic on-disk fixture trees mimicking
+the K-Face / Multi-PIE layouts (`dataset_kface.py`, `dataset_multipie.py`)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from hifidiff_tpu.data import (
+    KFaceDataset,
+    KFaceIDCDataset,
+    MultiPIEDataset,
+    MultiPIEHQDataset,
+    CelebAHQDataset,
+)
+from hifidiff_tpu.data.degradations import (
+    bivariate_gaussian_kernel,
+    quantize_8bit,
+    random_mixed_kernel,
+)
+
+RNG = np.random.default_rng(9)
+
+
+def _save_img(path, size=(160, 160)):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arr = RNG.uniform(0, 255, (*size, 3)).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def make_kface_tree(root, split="train", ids=("id1", "id2")):
+    for pid in ids:
+        for light in ("L1", "L3"):
+            for expr in ("E01", "E02", "E03"):
+                base = os.path.join(root, split, pid, "S001", light, expr)
+                for angle in range(1, 21):
+                    _save_img(os.path.join(base, f"C{angle}.jpg"))
+                    # meta: 7 filler lines, head bbox, 4 component bboxes
+                    lines = ["x"] * 7
+                    lines.append("10\t10\t120\t120")   # head
+                    for _ in range(4):
+                        lines.append("30\t30\t20\t20")  # components
+                    with open(os.path.join(base, f"C{angle}.txt"),
+                              "w") as f:
+                        f.write("\n".join(lines))
+
+
+def make_multipie_tree(root, split="train", pids=("p1", "p2")):
+    angles = ["11_0", "12_0", "09_0", "19_1", "08_1", "20_0", "01_0",
+              "24_0", "08_0", "13_0", "14_0", "05_0", "04_1", "19_0",
+              "05_1"]
+    for pid in pids:
+        for angle in angles:
+            for light in ("00", "01"):
+                _save_img(os.path.join(root, split, pid, angle,
+                                       f"{light}.png"), (128, 128))
+
+
+class TestKFace:
+    def test_samples_and_shapes(self, tmp_path):
+        make_kface_tree(str(tmp_path))
+        ds = KFaceDataset(str(tmp_path), split="train")
+        # 2 ids x 2 lights x 3 exprs x 19 non-frontal angles
+        assert len(ds) == 2 * 2 * 3 * 19
+        s = ds[0]
+        assert s["lr"].shape == (128, 128, 3)
+        assert s["gt"].shape == (128, 128, 3)
+        assert s["patches"].shape == (4, 128, 128, 3)
+        # patches are masked copies of the GT: zero outside, GT inside
+        mask = s["patches"].sum(axis=0).sum(axis=-1) > 0
+        assert mask.any() and not mask.all()
+        assert 0.0 <= s["lr"].min() and s["lr"].max() <= 1.0
+
+    def test_idc_triplets_distinct_identities(self, tmp_path):
+        make_kface_tree(str(tmp_path), ids=tuple(f"id{i}" for i in range(21)))
+        ds = KFaceIDCDataset(str(tmp_path), split="train")
+        s = ds[0]
+        assert set(s.keys()) == {"lr", "gt", "other"}
+        assert not np.allclose(s["gt"], s["other"])
+
+
+class TestMultiPIE:
+    def test_blind_and_clean_branches(self, tmp_path):
+        make_multipie_tree(str(tmp_path))
+        blind = MultiPIEDataset(str(tmp_path), split="train",
+                                use_blind=True, seed=0)
+        clean = MultiPIEDataset(str(tmp_path), split="train",
+                                use_blind=False, augment_flip=False)
+        # uni: 14 input angles x 2 lights x 2 pids
+        assert len(blind) == 14 * 2 * 2
+        sb, sc = blind[0], clean[0]
+        for s in (sb, sc):
+            assert s["lr"].shape == (128, 128, 3)
+            assert s["gt"].shape == (128, 128, 3)
+        # lr must be 8-bit-quantized
+        q = quantize_8bit(sc["lr"])
+        np.testing.assert_allclose(sc["lr"], q, atol=1e-7)
+
+    def test_hq_dataset(self, tmp_path):
+        make_multipie_tree(str(tmp_path))
+        ds = MultiPIEHQDataset(str(tmp_path))
+        # 7 angles (6 moderate + frontal) x 2 lights x 2 pids
+        assert len(ds) == 7 * 2 * 2
+        assert ds[0]["image"].shape == (128, 128, 3)
+
+
+class TestCelebAHQ:
+    def test_flat_dir(self, tmp_path):
+        for i in range(5):
+            _save_img(str(tmp_path / f"{i}.jpg"), (64, 64))
+        (tmp_path / "notes.txt").write_text("not an image")
+        ds = CelebAHQDataset(str(tmp_path), size=32)
+        assert len(ds) == 5
+        assert ds[0]["image"].shape == (32, 32, 3)
+
+
+class TestDegradations:
+    def test_iso_kernel_symmetric(self):
+        k = bivariate_gaussian_kernel(9, 0.5, 0.5, 0.0)
+        assert abs(k.sum() - 1.0) < 1e-6
+        np.testing.assert_allclose(k, k.T, atol=1e-7)
+
+    def test_aniso_kernel_rotation(self):
+        k0 = bivariate_gaussian_kernel(11, 0.3, 1.0, 0.0)
+        k90 = bivariate_gaussian_kernel(11, 0.3, 1.0, np.pi / 2)
+        np.testing.assert_allclose(k90, k0.T, atol=1e-7)
+
+    def test_random_mixed_deterministic(self):
+        a = random_mixed_kernel(np.random.default_rng(3), 9)
+        b = random_mixed_kernel(np.random.default_rng(3), 9)
+        np.testing.assert_allclose(a, b)
