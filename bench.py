@@ -37,7 +37,8 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 A100_EFFECTIVE_FLOPS = 15e12  # see module docstring
-FALLBACK_PIPELINE_TFLOPS_PER_FACE = 0.35  # analytic, used if cost_analysis fails
+# measured via XLA cost analysis of the fused program (batch 64, 50 steps)
+FALLBACK_PIPELINE_TFLOPS_PER_FACE = 0.232
 
 
 def main() -> None:
@@ -48,6 +49,13 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--cast-params", type=int, default=1,
+                   help="store params in bf16 (halves per-step HBM param "
+                        "traffic across the 50-step scan)")
+    p.add_argument("--unroll", type=int, default=1,
+                   help="lax.scan unroll factor for the DDIM loop")
+    p.add_argument("--mode", choices=["split", "fused"], default="split",
+                   help="chained jitted stages (faster) vs one program")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
@@ -56,6 +64,7 @@ def main() -> None:
     from hifidiff_tpu.pipeline import (
         RefinerPipelineConfig,
         build_refiner_sampler,
+        build_refiner_sampler_split,
     )
     from hifidiff_tpu.vae import AutoencoderKL
 
@@ -90,35 +99,43 @@ def main() -> None:
         "cr": cr_params,
         "vae": vae_params,
     }
+    if args.dtype == "bf16" and args.cast_params:
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, variables)
+        log("params cast to bf16")
 
-    sampler = build_refiner_sampler(
-        refiner, cr, vae, schedule,
-        RefinerPipelineConfig(num_inference_steps=args.steps))
-    fn = jax.jit(sampler)
-
+    pipe_cfg = RefinerPipelineConfig(num_inference_steps=args.steps,
+                                     unroll=args.unroll)
     lr_images = jax.random.uniform(key, (args.batch, 128, 128, 3))
 
-    t0 = time.time()
-    lowered = fn.lower(variables, lr_images, key)
-    compiled = lowered.compile()
-    log(f"compile done in {time.time() - t0:.1f}s")
-
     flops_per_call = None
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops_per_call = float(ca.get("flops", 0.0)) or None
-    except Exception as e:  # noqa: BLE001
-        log("cost_analysis unavailable:", e)
+    if args.mode == "fused":
+        fn = jax.jit(build_refiner_sampler(refiner, cr, vae, schedule,
+                                           pipe_cfg))
+        t0 = time.time()
+        compiled = fn.lower(variables, lr_images, key).compile()
+        log(f"compile done in {time.time() - t0:.1f}s")
+        try:
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops_per_call = float(ca.get("flops", 0.0)) or None
+        except Exception as e:  # noqa: BLE001
+            log("cost_analysis unavailable:", e)
+        run = compiled
+    else:
+        run = build_refiner_sampler_split(refiner, cr, vae, schedule,
+                                          pipe_cfg)
 
-    out = compiled(variables, lr_images, key)
+    t0 = time.time()
+    out = run(variables, lr_images, key)
     jax.block_until_ready(out)
-    log("warmup done")
+    log(f"warmup (incl. compile) done in {time.time() - t0:.1f}s")
 
     t0 = time.time()
     for i in range(args.iters):
-        out = compiled(variables, lr_images, jax.random.fold_in(key, i))
+        out = run(variables, lr_images, jax.random.fold_in(key, i))
     jax.block_until_ready(out)
     dt = time.time() - t0
 

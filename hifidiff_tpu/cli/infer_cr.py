@@ -27,8 +27,12 @@ from hifidiff_tpu.utils.logging import save_image_grid
 @dataclasses.dataclass
 class Config:
     ckpt: str = ""
-    image: str = ""
+    image: str = ""             # single-image mode
+    dataroot: str = ""          # batch mode over K-Face val split
+    split: str = "val"
+    batch_size: int = 8
     output: str = "cr_output.png"
+    out_dir: str = "output/infer_cr"
     size: int = 128
     width: int = 32
     enc_depths: str = "2,2,4,8"
@@ -56,12 +60,42 @@ def load_cr(cfg: Config, key):
     return model, params
 
 
+def infer_batch(cfg: Config, model, params) -> None:
+    """Dataset sweep with cr_loss + [lr|pred|gt] dumps (the reference's
+    `infer_loop`, `infer_cr.py:15-33`)."""
+    import os
+
+    from hifidiff_tpu.data import KFaceDataset, Loader
+    from hifidiff_tpu.train.losses import cr_loss
+    from hifidiff_tpu.utils.logging import side_by_side
+
+    ds = KFaceDataset(cfg.dataroot, split=cfg.split, size=cfg.size)
+    loader = Loader(ds, cfg.batch_size, shuffle=False)
+    apply = jax.jit(model.apply)
+    losses = []
+    for i, batch in enumerate(loader):
+        pred = apply({"params": params}, jnp.asarray(batch["lr"]))
+        losses.append(float(cr_loss(pred, jnp.asarray(batch["gt"]),
+                                    jnp.asarray(batch["patches"]))))
+        save_image_grid(
+            side_by_side(batch["lr"], np.asarray(jnp.clip(pred, 0, 1)),
+                         batch["gt"]),
+            os.path.join(cfg.out_dir, f"batch_{i}.png"))
+        print(f"({i + 1}/{len(loader)}) cr_loss={losses[-1]:.5f}",
+              flush=True)
+    print(f"mean cr_loss: {np.mean(losses):.5f}")
+
+
 def main(argv=None) -> None:
     cfg = parse_config(Config, argv, "CR inference")
-    assert cfg.image, "--image is required"
     key = jax.random.PRNGKey(cfg.seed)
     model, params = load_cr(cfg, key)
 
+    if cfg.dataroot and not cfg.image:
+        infer_batch(cfg, model, params)
+        return
+
+    assert cfg.image, "--image or --dataroot is required"
     bic = Image.Resampling.BICUBIC
     img = Image.open(cfg.image).convert("RGB")
     img = img.resize((32, 32), bic).resize((cfg.size, cfg.size), bic)

@@ -27,7 +27,7 @@ from hifidiff_tpu.eval.metrics import min_max_normalize, psnr, ssim
 from hifidiff_tpu.models import CoarseRestoration, FacialRefiner
 from hifidiff_tpu.pipeline import (
     RefinerPipelineConfig,
-    build_refiner_sampler,
+    build_refiner_sampler_split,
 )
 from hifidiff_tpu.train.checkpoint import (
     CheckpointManager,
@@ -97,11 +97,11 @@ def main(argv=None) -> None:
         vae_params = vae.init(key,
                               jnp.zeros((1, cfg.size, cfg.size, 3)))["params"]
 
-    sampler = jax.jit(build_refiner_sampler(
+    sampler = build_refiner_sampler_split(
         refiner, cr, vae, schedule,
         RefinerPipelineConfig(
             num_inference_steps=cfg.num_inference_steps,
-            clip_sample=True, clip_sample_range=cfg.clip_sample_range)))
+            clip_sample=True, clip_sample_range=cfg.clip_sample_range))
     sample_vars = {"refiner": variables, "cr": cr_params, "vae": vae_params}
 
     if cfg.synthetic:

@@ -28,7 +28,7 @@ from hifidiff_tpu.models import CoarseRestoration, FacialRefiner
 from hifidiff_tpu.parallel import make_mesh, replicated, shard_batch
 from hifidiff_tpu.pipeline import (
     RefinerPipelineConfig,
-    build_refiner_sampler,
+    build_refiner_sampler_split,
 )
 from hifidiff_tpu.train.checkpoint import (
     CheckpointManager,
@@ -160,9 +160,9 @@ def main(argv=None) -> None:
                             replicated(mesh))
     train_step = jax.jit(make_refiner_train_step(refiner, cr, vae, schedule),
                          donate_argnums=0)
-    sampler = jax.jit(build_refiner_sampler(
+    sampler = build_refiner_sampler_split(
         refiner, cr, vae, schedule,
-        RefinerPipelineConfig(num_inference_steps=cfg.num_inference_steps)))
+        RefinerPipelineConfig(num_inference_steps=cfg.num_inference_steps))
 
     logger = MetricsLogger("logs", "hifi_refiner", cfg.name,
                            use_wandb=cfg.use_wandb)

@@ -46,6 +46,7 @@ def sample_ddim(
     clip_sample_range: float = 1.0,
     key: Optional[jax.Array] = None,
     steps_offset: int = 0,
+    unroll: int = 1,
 ) -> jax.Array:
     """Deterministic (eta=0) or stochastic DDIM, one fused scan.
 
@@ -93,7 +94,7 @@ def sample_ddim(
         x_prev = jnp.sqrt(c["alpha_prev"]) * x0 + dir_xt + sigma * noise
         return x_prev, None
 
-    final, _ = jax.lax.scan(step, latents, xs)
+    final, _ = jax.lax.scan(step, latents, xs, unroll=unroll)
     return final
 
 

@@ -32,6 +32,7 @@ class RefinerPipelineConfig:
     eta: float = 0.0
     clip_sample: bool = False          # `pretrain_denoiser.py:261-272`
     clip_sample_range: float = 1.0     # test_refiner uses 3.0 (`:166-171`)
+    unroll: int = 1                    # lax.scan unroll factor
     latent_size: int = 16
     latent_channels: int = 4
     scaling: float = SD_VAE_SCALING
@@ -92,11 +93,90 @@ def build_refiner_sampler(
             eps_fn, latents, schedule,
             num_inference_steps=config.num_inference_steps,
             eta=config.eta, clip_sample=config.clip_sample,
-            clip_sample_range=config.clip_sample_range)
+            clip_sample_range=config.clip_sample_range,
+            unroll=config.unroll)
 
         img = vae.apply({"params": variables["vae"]},
                         final / config.scaling, method=vae.decode)
         return jnp.clip((img + 1.0) * 0.5, 0.0, 1.0)
+
+    return sample
+
+
+def build_refiner_sampler_split(
+    refiner: FacialRefiner,
+    cr_model: CoarseRestoration,
+    vae: AutoencoderKL,
+    schedule: DiffusionSchedule,
+    config: RefinerPipelineConfig = RefinerPipelineConfig(),
+) -> Callable:
+    """Same math as `build_refiner_sampler`, executed as five separately
+    jitted stages chained on host (CR -> VAE-enc -> conditioning -> DDIM
+    scan -> VAE-dec).
+
+    Measured on v5e at batch 64: the monolithic program runs ~60% slower
+    than the chained stages (493 ms vs 311 ms) — XLA schedules the huge
+    fused graph worse than the parts (memory pressure between the
+    128x128-resolution stages and the 50-step weight-streaming scan). Host
+    chaining costs five dispatches per batch (~us), nothing per diffusion
+    step — the scan itself is still one program.
+    """
+    b_lat = (config.latent_size, config.latent_size, config.latent_channels)
+
+    @jax.jit
+    def stage_cr(cr_params, lr_images):
+        return cr_model.apply({"params": cr_params}, lr_images)
+
+    @jax.jit
+    def stage_encode(vae_params, cr_face, key):
+        cr_in = jnp.clip(cr_face, 0.0, 1.0) * 2.0 - 1.0
+        if config.sample_posterior:
+            z = vae.apply({"params": vae_params}, cr_in, key=key,
+                          sample=True, method=vae.encode)
+        else:
+            z = vae.apply({"params": vae_params}, cr_in, sample=False,
+                          method=vae.encode)
+        return z * config.scaling
+
+    @jax.jit
+    def stage_condition(refiner_vars, cr_latent, cr_face):
+        priors = refiner.apply(refiner_vars, cr_latent,
+                               method=lambda m, z: m.fpg(z))
+        id_emb = refiner.apply(refiner_vars, cr_face,
+                               method=lambda m, f: m.idc(f, train=False))
+        return priors, id_emb
+
+    @jax.jit
+    def stage_scan(refiner_vars, latents, priors, id_emb):
+        def eps_fn(x, t):
+            return refiner.apply(
+                refiner_vars, x, t, priors, id_emb,
+                method=lambda m, x, t, p, e: m.denoiser(
+                    x, t, p, e, train=False))
+
+        return sample_ddim(
+            eps_fn, latents, schedule,
+            num_inference_steps=config.num_inference_steps,
+            eta=config.eta, clip_sample=config.clip_sample,
+            clip_sample_range=config.clip_sample_range,
+            unroll=config.unroll)
+
+    @jax.jit
+    def stage_decode(vae_params, latents):
+        img = vae.apply({"params": vae_params}, latents / config.scaling,
+                        method=vae.decode)
+        return jnp.clip((img + 1.0) * 0.5, 0.0, 1.0)
+
+    def sample(variables: dict, lr_images: jax.Array, key: jax.Array):
+        k_lat, k_enc = jax.random.split(key)
+        rvars = {"params": variables["refiner"]["params"],
+                 "batch_stats": variables["refiner"]["batch_stats"]}
+        cr_face = stage_cr(variables["cr"], lr_images)
+        cr_latent = stage_encode(variables["vae"], cr_face, k_enc)
+        priors, id_emb = stage_condition(rvars, cr_latent, cr_face)
+        latents = jax.random.normal(k_lat, (lr_images.shape[0], *b_lat))
+        final = stage_scan(rvars, latents, priors, id_emb)
+        return stage_decode(variables["vae"], final)
 
     return sample
 
