@@ -58,6 +58,7 @@ class Config:
     dec_depths: str = "2,2,2,2"
     vae_blocks: str = "128,256,512,512"
     vae_layers: int = 2
+    remat: bool = False   # jax.checkpoint the UNet blocks (saves HBM)
     seed: int = 0
     synthetic: int = 0
     save_model_epoch: int = 10
@@ -92,7 +93,8 @@ def main(argv=None) -> None:
     latent = cfg.size // (2 ** (len(vae_blocks) - 1))
     denoiser = Denoiser(width=cfg.width, enc_nums=parse_ints(cfg.enc_depths),
                         mid_num=cfg.mid_depth,
-                        dec_nums=parse_ints(cfg.dec_depths))
+                        dec_nums=parse_ints(cfg.dec_depths),
+                        remat=cfg.remat)
     vae = AutoencoderKL(block_out=vae_blocks, layers_per_block=cfg.vae_layers)
     schedule = DiffusionSchedule.create()
 

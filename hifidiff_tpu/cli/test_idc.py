@@ -31,6 +31,9 @@ class Config:
     idc_ckpt: str = ""
     batch_size: int = 8
     size: int = 128
+    cr_width: int = 32
+    cr_enc_depths: str = "2,2,4,8"
+    idc_stages: str = "3,4,6,3"
     seed: int = 0
     synthetic: int = 0
 
@@ -38,9 +41,12 @@ class Config:
 def main(argv=None) -> None:
     cfg = parse_config(Config, argv, "IDC identity verification eval")
     key = jax.random.PRNGKey(cfg.seed)
+    from hifidiff_tpu.cli.common import parse_ints
     from hifidiff_tpu.utils import torch_import as ti
 
-    cr = CoarseRestoration(resolution=cfg.size)
+    cr_enc = parse_ints(cfg.cr_enc_depths)
+    cr = CoarseRestoration(width=cfg.cr_width, resolution=cfg.size,
+                           enc_nums=cr_enc, dec_nums=(2,) * len(cr_enc))
     if cfg.cr_ckpt:
         cr_params = ti.cr_params(ti.load_torch_file(cfg.cr_ckpt)) \
             if cfg.cr_ckpt.endswith((".pt", ".pth", ".safetensors")) \
@@ -50,7 +56,7 @@ def main(argv=None) -> None:
         cr_params = jax.jit(cr.init)(
             key, jnp.zeros((1, cfg.size, cfg.size, 3)))["params"]
 
-    idc = IDCEncoder()
+    idc = IDCEncoder(stage_sizes=parse_ints(cfg.idc_stages))
     if cfg.idc_ckpt:
         if cfg.idc_ckpt.endswith((".pt", ".pth", ".safetensors")):
             p, s = ti.resnet50_params(ti.load_torch_file(cfg.idc_ckpt))

@@ -47,6 +47,16 @@ class Config:
     size: int = 128
     num_inference_steps: int = 50
     clip_sample_range: float = 3.0
+    # model-size knobs (defaults = reference architecture)
+    width: int = 128
+    enc_depths: str = "2,2,4,8"
+    mid_depth: int = 8
+    dec_depths: str = "2,2,2,2"
+    idc_stages: str = "3,4,6,3"
+    cr_width: int = 32
+    cr_enc_depths: str = "2,2,4,8"
+    vae_blocks: str = "128,256,512,512"
+    vae_layers: int = 2
     seed: int = 0
     synthetic: int = 0
     grid_every: int = 10
@@ -57,12 +67,20 @@ class Config:
 def main(argv=None) -> None:
     cfg = parse_config(Config, argv, "Full-pipeline eval")
     key = jax.random.PRNGKey(cfg.seed)
-    latent = cfg.size // 8
+    from hifidiff_tpu.cli.common import parse_ints
     from hifidiff_tpu.utils import torch_import as ti
 
-    cr = CoarseRestoration(resolution=cfg.size)
-    vae = AutoencoderKL()
-    refiner = FacialRefiner(latent_size=latent)
+    vae_blocks = parse_ints(cfg.vae_blocks)
+    latent = cfg.size // (2 ** (len(vae_blocks) - 1))
+    cr_enc = parse_ints(cfg.cr_enc_depths)
+    cr = CoarseRestoration(width=cfg.cr_width, resolution=cfg.size,
+                           enc_nums=cr_enc, dec_nums=(2,) * len(cr_enc))
+    vae = AutoencoderKL(block_out=vae_blocks, layers_per_block=cfg.vae_layers)
+    refiner = FacialRefiner(latent_size=latent, width=cfg.width,
+                            enc_nums=parse_ints(cfg.enc_depths),
+                            mid_num=cfg.mid_depth,
+                            dec_nums=parse_ints(cfg.dec_depths),
+                            idc_stage_sizes=parse_ints(cfg.idc_stages))
     schedule = DiffusionSchedule.create()
 
     init_vars = jax.jit(lambda k: refiner.init(
@@ -72,7 +90,9 @@ def main(argv=None) -> None:
     if cfg.refiner_ckpt:
         if cfg.refiner_ckpt.endswith(".safetensors"):
             variables = compose_refiner_params(
-                jax.device_get(init_vars), denoiser_ckpt=cfg.refiner_ckpt)
+                jax.device_get(init_vars), denoiser_ckpt=cfg.refiner_ckpt,
+                enc_nums=parse_ints(cfg.enc_depths), mid_num=cfg.mid_depth,
+                dec_nums=parse_ints(cfg.dec_depths))
         else:
             st = CheckpointManager(cfg.refiner_ckpt).restore()["state"]
             variables = {"params": st["params"],

@@ -71,6 +71,7 @@ class Config:
     cr_enc_depths: str = "2,2,4,8"
     vae_blocks: str = "128,256,512,512"
     vae_layers: int = 2
+    remat: bool = False   # jax.checkpoint the UNet blocks (saves HBM)
     seed: int = 0
     synthetic: int = 0
     save_epoch: int = 5
@@ -111,7 +112,8 @@ def main(argv=None) -> None:
                             enc_nums=parse_ints(cfg.enc_depths),
                             mid_num=cfg.mid_depth,
                             dec_nums=parse_ints(cfg.dec_depths),
-                            idc_stage_sizes=parse_ints(cfg.idc_stages))
+                            idc_stage_sizes=parse_ints(cfg.idc_stages),
+                            remat=cfg.remat)
     schedule = DiffusionSchedule.create()
 
     # frozen stage-1 CR + frozen VAE

@@ -63,14 +63,23 @@ class _UNetCore(nn.Module):
     dec_nums: Sequence[int]
     dtype: Optional[jnp.dtype]
 
+    @property
+    def _blk(self):
+        """ConditionalNAFBlock, optionally wrapped in jax.checkpoint —
+        trades recompute for activation HBM in large-batch training
+        (`remat=True`); param tree is unchanged."""
+        if getattr(self, "remat", False):
+            return nn.remat(ConditionalNAFBlock)
+        return ConditionalNAFBlock
+
     def encode(self, x, t):
         time_dim = self.width * 4
         skips = []
         ch = self.width
         for i, n in enumerate(self.enc_nums):
             for b in range(n):
-                x = ConditionalNAFBlock(ch, time_dim, dtype=self.dtype,
-                                        name=f"enc{i}_blk{b}")(x, t)
+                x = self._blk(ch, time_dim, dtype=self.dtype,
+                              name=f"enc{i}_blk{b}")(x, t)
             skips.append(x)  # pre-downsample skip (reference convention)
             x = TorchConv(ch * 2, (2, 2), strides=(2, 2), dtype=self.dtype,
                           name=f"down{i}")(x)
@@ -80,8 +89,8 @@ class _UNetCore(nn.Module):
     def middle(self, x, t, ch):
         time_dim = self.width * 4
         for b in range(self.mid_num):
-            x = ConditionalNAFBlock(ch, time_dim, dtype=self.dtype,
-                                    name=f"mid_blk{b}")(x, t)
+            x = self._blk(ch, time_dim, dtype=self.dtype,
+                          name=f"mid_blk{b}")(x, t)
         return x
 
     def up(self, x, ch, i):
@@ -95,8 +104,8 @@ class _UNetCore(nn.Module):
         ch //= 2
         x = x + skip
         for b in range(self.dec_nums[i]):
-            x = ConditionalNAFBlock(ch, time_dim, dtype=self.dtype,
-                                    name=f"dec{i}_blk{b}")(x, t)
+            x = self._blk(ch, time_dim, dtype=self.dtype,
+                          name=f"dec{i}_blk{b}")(x, t)
         return x, ch
 
 
@@ -108,6 +117,7 @@ class Denoiser(_UNetCore):
     enc_nums: Sequence[int] = (2, 2, 4, 8)
     mid_num: int = 8
     dec_nums: Sequence[int] = (2, 2, 2, 2)
+    remat: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -135,6 +145,7 @@ class FusedDenoiser(_UNetCore):
     enc_nums: Sequence[int] = (2, 2, 4, 8)
     mid_num: int = 8
     dec_nums: Sequence[int] = (2, 2, 2, 2)
+    remat: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact

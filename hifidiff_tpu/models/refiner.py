@@ -32,6 +32,7 @@ class FacialRefiner(nn.Module):
     mid_num: int = 8
     dec_nums: Sequence[int] = (2, 2, 2, 2)
     idc_stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    remat: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -43,7 +44,7 @@ class FacialRefiner(nn.Module):
         self.denoiser = FusedDenoiser(
             width=self.width, latent_size=self.latent_size,
             enc_nums=self.enc_nums, mid_num=self.mid_num,
-            dec_nums=self.dec_nums, dtype=self.dtype,
+            dec_nums=self.dec_nums, remat=self.remat, dtype=self.dtype,
         )
 
     def __call__(self, latents, timesteps, cr_face, cr_latent,

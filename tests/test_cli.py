@@ -81,6 +81,56 @@ class TestPretrainDenoiserSmoke:
         assert os.path.exists(tmp_path / "out" / "temp" / "0.png")
 
 
+class TestTestIDCSmoke:
+    def test_synthetic_eval(self, capsys):
+        from hifidiff_tpu.cli import test_idc
+
+        test_idc.main([
+            "--synthetic", "8", "--batch-size", "4", "--size", "32",
+            "--cr-width", "8", "--cr-enc-depths", "1,1",
+            "--idc-stages", "1,1,1,1",
+        ])
+        out = capsys.readouterr().out
+        assert "test accuracy (batch-mean" in out
+        assert "test accuracy (per-sample)" in out
+
+
+class TestTestRefinerSmoke:
+    def test_synthetic_eval(self, tmp_path, capsys):
+        from hifidiff_tpu.cli import test_refiner
+
+        test_refiner.main([
+            "--synthetic", "4", "--batch-size", "4", "--size", "32",
+            "--width", "16", "--enc-depths", "1,1", "--mid-depth", "1",
+            "--dec-depths", "1,1", "--idc-stages", "1,1,1,1",
+            "--cr-width", "8", "--cr-enc-depths", "1,1",
+            "--vae-blocks", "32,32,32", "--vae-layers", "1",
+            "--num-inference-steps", "2",
+            "--out-dir", str(tmp_path / "out"),
+        ])
+        out = capsys.readouterr().out
+        assert "PSNR:" in out and "SSIM:" in out
+
+
+class TestTrainRefinerSmoke:
+    def test_one_epoch_synthetic(self, tmp_path):
+        import os
+
+        from hifidiff_tpu.cli import train_refiner
+
+        train_refiner.main([
+            "--synthetic", "8", "--batch-size", "8", "--num-epochs", "1",
+            "--size", "32", "--width", "16", "--enc-depths", "1,1",
+            "--mid-depth", "1", "--dec-depths", "1,1",
+            "--idc-stages", "1,1,1,1", "--cr-width", "8",
+            "--cr-enc-depths", "1,1", "--vae-blocks", "32,32,32",
+            "--vae-layers", "1", "--num-inference-steps", "2",
+            "--out-dir", str(tmp_path / "out"),
+            "--ckpt-dir", str(tmp_path / "ckpt"),
+        ])
+        assert os.path.isdir(tmp_path / "ckpt" / "temp")
+
+
 class TestInferCRSmoke:
     def test_single_image(self, tmp_path):
         from PIL import Image
