@@ -121,6 +121,7 @@ def main(argv=None) -> None:
         refiner, cr, vae, schedule,
         RefinerPipelineConfig(
             num_inference_steps=cfg.num_inference_steps,
+            latent_size=latent,
             clip_sample=True, clip_sample_range=cfg.clip_sample_range))
     sample_vars = {"refiner": variables, "cr": cr_params, "vae": vae_params}
 

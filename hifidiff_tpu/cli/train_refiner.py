@@ -164,7 +164,8 @@ def main(argv=None) -> None:
                          donate_argnums=0)
     sampler = build_refiner_sampler_split(
         refiner, cr, vae, schedule,
-        RefinerPipelineConfig(num_inference_steps=cfg.num_inference_steps))
+        RefinerPipelineConfig(num_inference_steps=cfg.num_inference_steps,
+                              latent_size=latent))
 
     logger = MetricsLogger("logs", "hifi_refiner", cfg.name,
                            use_wandb=cfg.use_wandb)
