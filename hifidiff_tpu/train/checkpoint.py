@@ -111,21 +111,30 @@ def compose_refiner_params(
 
     if denoiser_ckpt:
         sd = ti.load_torch_file(denoiser_ckpt)
-        try:
+        if any(k.startswith(("denoiser.", "fpg.", "idc.")) for k in sd):
+            # a saved FacialRefiner (prefix-namespaced, as consumed by
+            # `test_refiner.py:162-164`): route each submodule's keys
+            subs = ti.split_by_prefix(sd)
+            dn_p, dn_s = ti.fused_denoiser_params(subs["denoiser"],
+                                                  enc_nums, mid_num,
+                                                  dec_nums)
+            fpg_p = ti.fpg_params(subs["fpg"], enc_nums)
+            if subs["idc"] and not idc_ckpt:
+                p, s = ti.resnet50_params(subs["idc"])
+                params["idc"] = _merge_strict_false(params["idc"], p)
+                if "idc" in stats:
+                    stats["idc"] = _merge_strict_false(stats["idc"], s)
+        else:
+            # stage-3 denoiser checkpoint: its keys feed BOTH the denoiser
+            # and (by name/shape overlap) the FPG, strict=False — the
+            # reference's exact composition (`models/refiner.py:22-25`)
             dn_p, dn_s = ti.fused_denoiser_params(sd, enc_nums, mid_num,
                                                   dec_nums)
-        except KeyError:
-            # stage-3 unconditional checkpoint: no hcas/idc_conv yet
-            dn_p, dn_s = ti.denoiser_params(sd, enc_nums, mid_num,
-                                            dec_nums), {}
+            fpg_p = ti.fpg_params(sd, enc_nums)
         params["denoiser"] = _merge_strict_false(params["denoiser"], dn_p)
         if "denoiser" in stats and dn_s:
             stats["denoiser"] = _merge_strict_false(stats["denoiser"], dn_s)
-        try:
-            fpg_p = ti.fpg_params(sd, enc_nums)
-            params["fpg"] = _merge_strict_false(params["fpg"], fpg_p)
-        except KeyError:
-            pass  # strict=False: FPG keys absent from this checkpoint
+        params["fpg"] = _merge_strict_false(params["fpg"], fpg_p)
 
     out = {"params": params}
     if stats:

@@ -34,6 +34,29 @@ def _k(prefix: str, name: str) -> str:
     return name if not prefix else f"{prefix}.{name}"
 
 
+def _try(dst: Dict, key: str, fn, *args) -> None:
+    """strict=False import helper: assign dst[key] = fn(*args), skipping
+    silently when the checkpoint lacks the needed tensors (torch
+    `load_state_dict(strict=False)` semantics — the reference leans on this
+    to feed BOTH the denoiser and the FPG from one stage-3 checkpoint,
+    `models/refiner.py:22-25`)."""
+    try:
+        dst[key] = fn(*args)
+    except KeyError:
+        pass
+
+
+def split_by_prefix(sd: StateDict, prefixes=("idc", "denoiser", "fpg")):
+    """Split a composite state dict (e.g. a saved FacialRefiner,
+    `test_refiner.py:162-164`) into per-submodule dicts keyed by prefix."""
+    out = {p: {} for p in prefixes}
+    for k, v in sd.items():
+        head, _, rest = k.partition(".")
+        if head in out and rest:
+            out[head][rest] = v
+    return out
+
+
 def _conv(sd: StateDict, prefix: str, bias: bool = True) -> Dict:
     out = {"kernel": np.transpose(np.asarray(sd[_k(prefix, "weight")]),
                                   (2, 3, 1, 0))}
@@ -157,25 +180,25 @@ def _time_mlp(sd: StateDict, p: str = "time_mlp") -> Dict:
 
 def denoiser_params(sd: StateDict, enc_nums=(2, 2, 4, 8), mid_num=8,
                     dec_nums=(2, 2, 2, 2)) -> Dict:
-    """Denoiser (`models/denoiser/model.py:32-134`)."""
-    params = {
-        "time_mlp": _time_mlp(sd),
-        "intro": _conv(sd, "intro"),
-        "ending": _conv(sd, "ending"),
-    }
+    """Denoiser (`models/denoiser/model.py:32-134`). Tolerates missing keys
+    (strict=False) so partial checkpoints overlay cleanly."""
+    params: Dict = {}
+    _try(params, "time_mlp", _time_mlp, sd)
+    _try(params, "intro", _conv, sd, "intro")
+    _try(params, "ending", _conv, sd, "ending")
     for i, n in enumerate(enc_nums):
         for b in range(n):
-            params[f"enc{i}_blk{b}"] = conditional_naf_block_params(
-                sd, f"encoders.{i}.{b}")
-        params[f"down{i}"] = _conv(sd, f"downs.{i}")
+            _try(params, f"enc{i}_blk{b}", conditional_naf_block_params,
+                 sd, f"encoders.{i}.{b}")
+        _try(params, f"down{i}", _conv, sd, f"downs.{i}")
     for b in range(mid_num):
-        params[f"mid_blk{b}"] = conditional_naf_block_params(
-            sd, f"middle_blks.{b}")
+        _try(params, f"mid_blk{b}", conditional_naf_block_params,
+             sd, f"middle_blks.{b}")
     for i, n in enumerate(dec_nums):
-        params[f"up{i}"] = _conv(sd, f"ups.{i}.0", bias=False)
+        _try(params, f"up{i}", _conv, sd, f"ups.{i}.0", False)
         for b in range(n):
-            params[f"dec{i}_blk{b}"] = conditional_naf_block_params(
-                sd, f"decoders.{i}.{b}")
+            _try(params, f"dec{i}_blk{b}", conditional_naf_block_params,
+                 sd, f"decoders.{i}.{b}")
     return params
 
 
@@ -187,28 +210,38 @@ def fused_denoiser_params(sd: StateDict, enc_nums=(2, 2, 4, 8), mid_num=8,
     Dense `idc_proj`: kernel = conv weight squeezed + transposed.
     """
     params = denoiser_params(sd, enc_nums, mid_num, dec_nums)
-    w = np.asarray(sd["idc_conv.weight"])  # (out, 2048, 1, 1)
-    params["idc_proj"] = {"dense": {
-        "kernel": w[:, :, 0, 0].T,
-        "bias": np.asarray(sd["idc_conv.bias"]),
-    }}
+    if "idc_conv.weight" in sd:
+        w = np.asarray(sd["idc_conv.weight"])  # (out, 2048, 1, 1)
+        params["idc_proj"] = {"dense": {
+            "kernel": w[:, :, 0, 0].T,
+            "bias": np.asarray(sd["idc_conv.bias"]),
+        }}
     stats: Dict = {}
     for i in range(len(dec_nums) + 1):
-        p, s = hca_params(sd, f"hcas.{i}")
+        try:
+            p, s = hca_params(sd, f"hcas.{i}")
+        except KeyError:
+            continue
         params[f"hca{i}"] = p
         stats[f"hca{i}"] = s
     return params, stats
 
 
 def fpg_params(sd: StateDict, enc_nums=(2, 2, 4, 8)) -> Dict:
-    """FacialPriorGuidance (`models/fpg/model.py:7-64`)."""
-    params = {"intro": _conv(sd, "intro"),
-              "prior_conv0": _conv(sd, "convs.0.0", bias=False)}
+    """FacialPriorGuidance (`models/fpg/model.py:7-64`). Missing keys skip
+    (strict=False): when fed a stage-3 Denoiser checkpoint the reference
+    populates FPG's intro/encoder-conv/down weights from the *denoiser's*
+    same-named, same-shaped tensors and leaves the prior convs at init
+    (`models/refiner.py:25`) — reproduced here exactly."""
+    params: Dict = {}
+    _try(params, "intro", _conv, sd, "intro")
+    _try(params, "prior_conv0", _conv, sd, "convs.0.0", False)
     for i, n in enumerate(enc_nums):
         for b in range(n):
-            params[f"enc{i}_blk{b}"] = naf_block_params(sd, f"encoders.{i}.{b}")
-        params[f"down{i}"] = _conv(sd, f"downs.{i}")
-        params[f"up{i}"] = _conv(sd, f"convs.{i + 1}.0", bias=False)
+            _try(params, f"enc{i}_blk{b}", naf_block_params, sd,
+                 f"encoders.{i}.{b}")
+        _try(params, f"down{i}", _conv, sd, f"downs.{i}")
+        _try(params, f"up{i}", _conv, sd, f"convs.{i + 1}.0", False)
     return params
 
 
