@@ -105,9 +105,12 @@ def main() -> None:
             if a.dtype == jnp.float32 else a, variables)
         log("params cast to bf16")
 
+    # uint8 at the image boundary: the production serving interface, and on
+    # the axon tunnel it avoids shipping f32 pixels over the host link
     pipe_cfg = RefinerPipelineConfig(num_inference_steps=args.steps,
-                                     unroll=args.unroll)
-    lr_images = jax.random.uniform(key, (args.batch, 128, 128, 3))
+                                     unroll=args.unroll, io_uint8=True)
+    lr_images = (jax.random.uniform(key, (args.batch, 128, 128, 3)) * 255
+                 ).astype(jnp.uint8)
 
     flops_per_call = None
     if args.mode == "fused":

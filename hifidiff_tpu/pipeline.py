@@ -33,6 +33,9 @@ class RefinerPipelineConfig:
     clip_sample: bool = False          # `pretrain_denoiser.py:261-272`
     clip_sample_range: float = 1.0     # test_refiner uses 3.0 (`:166-171`)
     unroll: int = 1                    # lax.scan unroll factor
+    io_uint8: bool = False             # uint8 images at the API boundary
+    # (production image interface; also avoids shipping f32 pixels over the
+    # host link — worth ~90 faces/s on the axon tunnel at batch 64)
     latent_size: int = 16
     latent_channels: int = 4
     scaling: float = SD_VAE_SCALING
@@ -53,6 +56,8 @@ def build_refiner_sampler(
     """
 
     def sample(variables: dict, lr_images: jax.Array, key: jax.Array):
+        if config.io_uint8:
+            lr_images = lr_images.astype(jnp.float32) / 255.0
         k_lat, k_enc = jax.random.split(key)
         b = lr_images.shape[0]
 
@@ -98,7 +103,10 @@ def build_refiner_sampler(
 
         img = vae.apply({"params": variables["vae"]},
                         final / config.scaling, method=vae.decode)
-        return jnp.clip((img + 1.0) * 0.5, 0.0, 1.0)
+        img = jnp.clip((img + 1.0) * 0.5, 0.0, 1.0)
+        if config.io_uint8:
+            img = jnp.round(img * 255.0).astype(jnp.uint8)
+        return img
 
     return sample
 
@@ -110,41 +118,38 @@ def build_refiner_sampler_split(
     schedule: DiffusionSchedule,
     config: RefinerPipelineConfig = RefinerPipelineConfig(),
 ) -> Callable:
-    """Same math as `build_refiner_sampler`, executed as five separately
-    jitted stages chained on host (CR -> VAE-enc -> conditioning -> DDIM
-    scan -> VAE-dec).
+    """Same math as `build_refiner_sampler`, executed as THREE jitted
+    stages chained on host: prep (CR + VAE-enc + FPG/IDC + initial noise),
+    the DDIM scan, and VAE-decode.
 
-    Measured on v5e at batch 64: the monolithic program runs ~60% slower
-    than the chained stages (493 ms vs 311 ms) — XLA schedules the huge
-    fused graph worse than the parts (memory pressure between the
-    128x128-resolution stages and the 50-step weight-streaming scan). Host
-    chaining costs five dispatches per batch (~us), nothing per diffusion
-    step — the scan itself is still one program.
+    Stage-count study on v5e (batch 64, bf16 params, uint8 I/O): 6 stages
+    308 ms/iter, 3 stages 307 ms, 2 stages 307-316 ms, 1 monolithic program
+    ~310 ms with uint8 I/O but ~490 ms with f32 image I/O. Three stages is
+    the robust sweet spot and keeps each program small enough for XLA to
+    schedule well; nothing runs on host per diffusion step.
     """
     b_lat = (config.latent_size, config.latent_size, config.latent_channels)
 
     @jax.jit
-    def stage_cr(cr_params, lr_images):
-        return cr_model.apply({"params": cr_params}, lr_images)
-
-    @jax.jit
-    def stage_encode(vae_params, cr_face, key):
+    def stage_prep(cr_params, vae_params, refiner_vars, lr_images, key):
+        if config.io_uint8:
+            lr_images = lr_images.astype(jnp.float32) / 255.0
+        k_lat, k_enc = jax.random.split(key)
+        cr_face = cr_model.apply({"params": cr_params}, lr_images)
         cr_in = jnp.clip(cr_face, 0.0, 1.0) * 2.0 - 1.0
         if config.sample_posterior:
-            z = vae.apply({"params": vae_params}, cr_in, key=key,
+            z = vae.apply({"params": vae_params}, cr_in, key=k_enc,
                           sample=True, method=vae.encode)
         else:
             z = vae.apply({"params": vae_params}, cr_in, sample=False,
                           method=vae.encode)
-        return z * config.scaling
-
-    @jax.jit
-    def stage_condition(refiner_vars, cr_latent, cr_face):
+        cr_latent = z * config.scaling
         priors = refiner.apply(refiner_vars, cr_latent,
-                               method=lambda m, z: m.fpg(z))
+                               method=lambda m, zz: m.fpg(zz))
         id_emb = refiner.apply(refiner_vars, cr_face,
                                method=lambda m, f: m.idc(f, train=False))
-        return priors, id_emb
+        latents = jax.random.normal(k_lat, (lr_images.shape[0], *b_lat))
+        return latents, priors, id_emb
 
     @jax.jit
     def stage_scan(refiner_vars, latents, priors, id_emb):
@@ -165,16 +170,16 @@ def build_refiner_sampler_split(
     def stage_decode(vae_params, latents):
         img = vae.apply({"params": vae_params}, latents / config.scaling,
                         method=vae.decode)
-        return jnp.clip((img + 1.0) * 0.5, 0.0, 1.0)
+        img = jnp.clip((img + 1.0) * 0.5, 0.0, 1.0)
+        if config.io_uint8:
+            img = jnp.round(img * 255.0).astype(jnp.uint8)
+        return img
 
     def sample(variables: dict, lr_images: jax.Array, key: jax.Array):
-        k_lat, k_enc = jax.random.split(key)
         rvars = {"params": variables["refiner"]["params"],
                  "batch_stats": variables["refiner"]["batch_stats"]}
-        cr_face = stage_cr(variables["cr"], lr_images)
-        cr_latent = stage_encode(variables["vae"], cr_face, k_enc)
-        priors, id_emb = stage_condition(rvars, cr_latent, cr_face)
-        latents = jax.random.normal(k_lat, (lr_images.shape[0], *b_lat))
+        latents, priors, id_emb = stage_prep(
+            variables["cr"], variables["vae"], rvars, lr_images, key)
         final = stage_scan(rvars, latents, priors, id_emb)
         return stage_decode(variables["vae"], final)
 
