@@ -56,6 +56,9 @@ def main() -> None:
                    help="lax.scan unroll factor for the DDIM loop")
     p.add_argument("--mode", choices=["split", "fused"], default="split",
                    help="chained jitted stages (faster) vs one program")
+    p.add_argument("--profile", type=str, default="",
+                   help="directory for a jax.profiler trace of the timed "
+                        "iterations")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
@@ -136,10 +139,13 @@ def main() -> None:
     jax.block_until_ready(out)
     log(f"warmup (incl. compile) done in {time.time() - t0:.1f}s")
 
+    from hifidiff_tpu.utils.logging import profile_trace
+
     t0 = time.time()
-    for i in range(args.iters):
-        out = run(variables, lr_images, jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
+    with profile_trace(args.profile or None):
+        for i in range(args.iters):
+            out = run(variables, lr_images, jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
     dt = time.time() - t0
 
     faces_per_sec = args.batch * args.iters / dt

@@ -135,10 +135,12 @@ def main(argv=None) -> None:
                            use_wandb=cfg.use_wandb)
     timer = StepTimer()
     step = int(state.step)
+    from hifidiff_tpu.parallel import device_prefetch
+
     for epoch in range(start_epoch, cfg.num_epochs):
         losses = []
-        for batch in train_loader:
-            images = shard_batch(batch["image"], mesh)
+        for images in device_prefetch(
+                (b["image"] for b in train_loader), mesh):
             state, metrics = train_step(state, vae_params, images,
                                         jax.random.fold_in(key, step))
             timer.tick()

@@ -38,6 +38,9 @@ class Config:
     batch_size: int = 24
     lr: float = 5e-4
     size: int = 128
+    cr_width: int = 32
+    cr_enc_depths: str = "2,2,4,8"
+    idc_stages: str = "3,4,6,3"
     seed: int = 0
     synthetic: int = 0
     save_epoch: int = 5
@@ -76,10 +79,14 @@ def main(argv=None) -> None:
                           seed=cfg.seed)
     val_loader = Loader(val_ds, cfg.batch_size, shuffle=False)
 
-    cr = CoarseRestoration(resolution=cfg.size)
+    from hifidiff_tpu.cli.common import parse_ints
+
+    cr_enc = parse_ints(cfg.cr_enc_depths)
+    cr = CoarseRestoration(width=cfg.cr_width, resolution=cfg.size,
+                           enc_nums=cr_enc, dec_nums=(2,) * len(cr_enc))
     cr_params = load_cr_params(cfg, cr, key)
 
-    idc = IDCEncoder()
+    idc = IDCEncoder(stage_sizes=parse_ints(cfg.idc_stages))
     variables = jax.jit(lambda k: idc.init(
         k, jnp.zeros((1, cfg.size, cfg.size, 3)), train=True))(key)
     state = TrainState.create(variables["params"], adam(cfg.lr),

@@ -171,9 +171,12 @@ def main(argv=None) -> None:
                            use_wandb=cfg.use_wandb)
     timer = StepTimer()
     step = int(state.step)
+    from hifidiff_tpu.parallel import device_prefetch
+
     for epoch in range(start_epoch, cfg.num_epochs):
-        for batch in train_loader:
-            batch = shard_batch({"lr": batch["lr"], "gt": batch["gt"]}, mesh)
+        for batch in device_prefetch(
+                ({"lr": b["lr"], "gt": b["gt"]} for b in train_loader),
+                mesh):
             state, metrics = train_step(state, frozen, batch,
                                         jax.random.fold_in(key, step))
             timer.tick()

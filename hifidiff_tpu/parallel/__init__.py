@@ -1,8 +1,10 @@
 from hifidiff_tpu.parallel.mesh import (
     batch_sharding,
+    device_prefetch,
     make_mesh,
     replicated,
     shard_batch,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch",
+           "device_prefetch"]

@@ -50,6 +50,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def device_prefetch(iterator, mesh: Mesh, depth: int = 2):
+    """Wrap a host batch iterator so the next `depth` batches are already
+    device_put (sharded over "data") while the current one trains — hides
+    H2D transfer behind compute (the reference relies on torch DataLoader
+    `pin_memory` for the same purpose)."""
+    import collections
+    import itertools
+
+    queue = collections.deque()
+    it = iter(iterator)
+    for batch in itertools.islice(it, depth):
+        queue.append(shard_batch(batch, mesh))
+    while queue:
+        out = queue.popleft()
+        nxt = next(it, None)
+        if nxt is not None:
+            queue.append(shard_batch(nxt, mesh))
+        yield out
+
+
 def shard_batch(tree, mesh: Mesh):
     """Device-put every leaf with its leading axis split over "data".
 

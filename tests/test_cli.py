@@ -81,6 +81,19 @@ class TestPretrainDenoiserSmoke:
         assert os.path.exists(tmp_path / "out" / "temp" / "0.png")
 
 
+class TestPretrainIDCSmoke:
+    def test_one_epoch_synthetic(self, tmp_path):
+        from hifidiff_tpu.cli import pretrain_idc
+
+        pretrain_idc.main([
+            "--synthetic", "8", "--batch-size", "8", "--num-epochs", "1",
+            "--size", "32", "--cr-width", "8", "--cr-enc-depths", "1,1",
+            "--idc-stages", "1,1,1,1",
+            "--ckpt-dir", str(tmp_path / "ckpt"),
+        ])
+        assert os.path.isdir(tmp_path / "ckpt" / "temp")
+
+
 class TestTestIDCSmoke:
     def test_synthetic_eval(self, capsys):
         from hifidiff_tpu.cli import test_idc

@@ -12,6 +12,8 @@ from hifidiff_tpu.data import (
     KFaceIDCDataset,
     MultiPIEDataset,
     MultiPIEHQDataset,
+    MultiPIEInferenceDataset,
+    MultiPIESingleViewDataset,
     CelebAHQDataset,
 )
 from hifidiff_tpu.data.degradations import (
@@ -46,7 +48,8 @@ def make_kface_tree(root, split="train", ids=("id1", "id2")):
                         f.write("\n".join(lines))
 
 
-def make_multipie_tree(root, split="train", pids=("p1", "p2")):
+def make_multipie_tree(root, split="train", pids=("p1", "p2"),
+                       with_patches=False):
     angles = ["11_0", "12_0", "09_0", "19_1", "08_1", "20_0", "01_0",
               "24_0", "08_0", "13_0", "14_0", "05_0", "04_1", "19_0",
               "05_1"]
@@ -55,6 +58,9 @@ def make_multipie_tree(root, split="train", pids=("p1", "p2")):
             for light in ("00", "01"):
                 _save_img(os.path.join(root, split, pid, angle,
                                        f"{light}.png"), (128, 128))
+                if with_patches and angle == "05_1":
+                    _save_img(os.path.join(root, split, pid, angle,
+                                           f"{light}_patch.png"), (128, 128))
 
 
 class TestKFace:
@@ -96,6 +102,23 @@ class TestMultiPIE:
         # lr must be 8-bit-quantized
         q = quantize_8bit(sc["lr"])
         np.testing.assert_allclose(sc["lr"], q, atol=1e-7)
+
+    def test_single_view_dataset(self, tmp_path):
+        make_multipie_tree(str(tmp_path), with_patches=True)
+        ds = MultiPIESingleViewDataset(str(tmp_path), angle="11_0")
+        assert len(ds) == 2 * 2  # pids x lights
+        s = ds[0]
+        assert s["angle"] == "11_0"
+        assert s["lr"].shape == (128, 128, 3)
+        assert s["patches"].shape == (1, 128, 128, 3)
+
+    def test_inference_dataset(self, tmp_path):
+        make_multipie_tree(str(tmp_path))
+        ds = MultiPIEInferenceDataset(str(tmp_path))
+        assert len(ds) == 14 * 2 * 2
+        s = ds[0]
+        assert s["lr"].shape == (128, 128, 3)
+        assert isinstance(s["path"], str) and s["path"].endswith(".png")
 
     def test_hq_dataset(self, tmp_path):
         make_multipie_tree(str(tmp_path))

@@ -1,0 +1,49 @@
+"""Mesh utility tests (8 virtual CPU devices via conftest)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from hifidiff_tpu.parallel import (
+    batch_sharding,
+    device_prefetch,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+
+RNG = np.random.default_rng(31)
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        mesh = make_mesh(8)
+        assert mesh.shape == {"data": 8}
+        mesh2 = make_mesh(8, axes=("data", "model"), shape=(4, 2))
+        assert mesh2.shape == {"data": 4, "model": 2}
+
+    def test_shard_batch_divisible_and_ragged(self):
+        mesh = make_mesh(8)
+        div = shard_batch(np.zeros((16, 4), np.float32), mesh)
+        assert div.sharding.spec[0] == "data"
+        ragged = shard_batch(np.zeros((5, 4), np.float32), mesh)
+        assert ragged.sharding.spec == ()  # replicated fallback
+
+    def test_device_prefetch_order_and_completeness(self):
+        mesh = make_mesh(8)
+        batches = [{"x": RNG.uniform(0, 1, (8, 2)).astype(np.float32)}
+                   for _ in range(5)]
+        out = list(device_prefetch(iter(batches), mesh, depth=2))
+        assert len(out) == 5
+        for a, b in zip(out, batches):
+            np.testing.assert_allclose(np.asarray(a["x"]), b["x"])
+
+    def test_sharded_mean_is_global(self):
+        """jnp.mean over a sharded batch inside jit is the global mean —
+        the GSPMD property the loss reductions rely on."""
+        mesh = make_mesh(8)
+        x = np.arange(16, dtype=np.float32)
+        xs = shard_batch(x, mesh)
+        m = jax.jit(jnp.mean)(xs)
+        np.testing.assert_allclose(float(m), x.mean(), rtol=1e-6)
