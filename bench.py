@@ -56,6 +56,9 @@ def main() -> None:
                    help="lax.scan unroll factor for the DDIM loop")
     p.add_argument("--mode", choices=["split", "fused"], default="split",
                    help="chained jitted stages (faster) vs one program")
+    p.add_argument("--quant", choices=["none", "int8"], default="none",
+                   help="w8a8 int8 denoiser (halves scan weight streaming; "
+                        "opt-in, small numeric drift)")
     p.add_argument("--profile", type=str, default="",
                    help="directory for a jax.profiler trace of the timed "
                         "iterations")
@@ -96,8 +99,22 @@ def main() -> None:
     jax.block_until_ready((cr_params, vae_params, rv))
     log(f"init done in {time.time() - t0:.1f}s")
 
+    refiner_params = rv["params"]
+    if args.quant == "int8":
+        from hifidiff_tpu.ops.quant import quantize_variables
+
+        refiner = FacialRefiner(dtype=dtype, w8a8=True)
+        q_shapes = jax.eval_shape(
+            lambda k: refiner.init(k, jnp.zeros((1, 16, 16, 4)),
+                                   jnp.zeros((1,)),
+                                   jnp.zeros((1, 128, 128, 3)),
+                                   jnp.zeros((1, 16, 16, 4)), train=False),
+            key)["params"]
+        refiner_params = quantize_variables(rv["params"], q_shapes)
+        log("denoiser quantized to w8a8 int8")
+
     variables = {
-        "refiner": {"params": rv["params"],
+        "refiner": {"params": refiner_params,
                     "batch_stats": rv.get("batch_stats", {})},
         "cr": cr_params,
         "vae": vae_params,

@@ -64,6 +64,10 @@ class _UNetCore(nn.Module):
     dtype: Optional[jnp.dtype]
 
     @property
+    def _w8a8(self):
+        return getattr(self, "w8a8", False)
+
+    @property
     def _blk(self):
         """ConditionalNAFBlock, optionally wrapped in jax.checkpoint —
         trades recompute for activation HBM in large-batch training
@@ -78,7 +82,8 @@ class _UNetCore(nn.Module):
         ch = self.width
         for i, n in enumerate(self.enc_nums):
             for b in range(n):
-                x = self._blk(ch, time_dim, dtype=self.dtype,
+                x = self._blk(ch, time_dim, w8a8=self._w8a8,
+                              dtype=self.dtype,
                               name=f"enc{i}_blk{b}")(x, t)
             skips.append(x)  # pre-downsample skip (reference convention)
             x = TorchConv(ch * 2, (2, 2), strides=(2, 2), dtype=self.dtype,
@@ -89,13 +94,13 @@ class _UNetCore(nn.Module):
     def middle(self, x, t, ch):
         time_dim = self.width * 4
         for b in range(self.mid_num):
-            x = self._blk(ch, time_dim, dtype=self.dtype,
+            x = self._blk(ch, time_dim, w8a8=self._w8a8, dtype=self.dtype,
                           name=f"mid_blk{b}")(x, t)
         return x
 
     def up(self, x, ch, i):
-        x = TorchConv(ch * 2, (1, 1), use_bias=False, dtype=self.dtype,
-                      name=f"up{i}")(x)
+        x = TorchConv(ch * 2, (1, 1), use_bias=False, w8a8=self._w8a8,
+                      dtype=self.dtype, name=f"up{i}")(x)
         return pixel_shuffle(x, 2)
 
     def decode_stage(self, x, t, skip, ch, i):
@@ -104,7 +109,7 @@ class _UNetCore(nn.Module):
         ch //= 2
         x = x + skip
         for b in range(self.dec_nums[i]):
-            x = self._blk(ch, time_dim, dtype=self.dtype,
+            x = self._blk(ch, time_dim, w8a8=self._w8a8, dtype=self.dtype,
                           name=f"dec{i}_blk{b}")(x, t)
         return x, ch
 
@@ -118,6 +123,7 @@ class Denoiser(_UNetCore):
     mid_num: int = 8
     dec_nums: Sequence[int] = (2, 2, 2, 2)
     remat: bool = False
+    w8a8: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -146,6 +152,7 @@ class FusedDenoiser(_UNetCore):
     mid_num: int = 8
     dec_nums: Sequence[int] = (2, 2, 2, 2)
     remat: bool = False
+    w8a8: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -171,21 +178,20 @@ class FusedDenoiser(_UNetCore):
         # identity injection at the bottleneck: Dense(2048 -> ch*bh*bw),
         # reshaped channel-major like the reference's NCHW view (:245-246).
         bh, bw = x.shape[1], x.shape[2]
-        idc = TorchDense(ch * bh * bw, dtype=self.dtype, name="idc_proj")(
-            identity_embedding
-        )
+        idc = TorchDense(ch * bh * bw, w8a8=self.w8a8, dtype=self.dtype,
+                         name="idc_proj")(identity_embedding)
         idc = idc.reshape(b, ch, bh, bw).transpose(0, 2, 3, 1)
         x = x + idc
 
-        x = HybridCrossAttention(ch, dtype=self.dtype, name="hca0")(
-            facial_priors[0], x, train=train
-        )
+        x = HybridCrossAttention(ch, w8a8=self.w8a8, dtype=self.dtype,
+                                 name="hca0")(facial_priors[0], x,
+                                              train=train)
 
         for i in range(len(self.dec_nums)):
             x, ch = self.decode_stage(x, t, skips[-1 - i], ch, i)
-            x = HybridCrossAttention(ch, dtype=self.dtype, name=f"hca{i + 1}")(
-                facial_priors[i + 1], x, train=train
-            )
+            x = HybridCrossAttention(ch, w8a8=self.w8a8, dtype=self.dtype,
+                                     name=f"hca{i + 1}")(
+                facial_priors[i + 1], x, train=train)
 
         x = TorchConv(self.in_channels, (3, 3), padding=1, dtype=self.dtype,
                       name="ending")(x)

@@ -63,6 +63,10 @@ class TorchConv(nn.Module):
 
     kernel: U(-1/sqrt(fan_in), 1/sqrt(fan_in)); bias likewise; fan_in =
     (cin/groups) * kh * kw. Layout is NHWC/HWIO (TPU-native).
+
+    With `w8a8=True` the kernel is stored int8 with per-output-channel
+    scales and the conv runs on the int8 MXU path with dynamic per-tensor
+    activation quantization (see ops/quant.py) — inference only.
     """
 
     features: int
@@ -71,6 +75,7 @@ class TorchConv(nn.Module):
     padding: str | int | tuple = 0
     feature_group_count: int = 1
     use_bias: bool = True
+    w8a8: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -82,6 +87,17 @@ class TorchConv(nn.Module):
         fan_in = (cin // self.feature_group_count) * int(
             math.prod(self.kernel_size)
         )
+        if self.w8a8:
+            from hifidiff_tpu.ops.quant import conv_w8a8
+
+            sub = self._w8a8_scope(
+                (*self.kernel_size, cin // self.feature_group_count,
+                 self.features), fan_in)
+            y = conv_w8a8(x, sub["kernel_q"], sub["kernel_scale"],
+                          self.strides, pad, self.feature_group_count)
+            if self.use_bias:
+                y = y + sub["bias"]
+            return y.astype(x.dtype)
         return nn.Conv(
             features=self.features,
             kernel_size=self.kernel_size,
@@ -95,12 +111,40 @@ class TorchConv(nn.Module):
             name="conv",
         )(x)
 
+    def _w8a8_scope(self, kshape, fan_in):
+        """Declare int8 kernel + scales + bias under the same "conv" scope
+        the float variant uses (keeps checkpoint paths aligned)."""
+        scope = _W8A8Params(kshape, fan_in, self.use_bias, name="conv")
+        return scope()
+
+
+class _W8A8Params(nn.Module):
+    kshape: tuple
+    fan_in: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        out = {
+            "kernel_q": self.param(
+                "kernel_q",
+                lambda key, shape: jnp.zeros(shape, jnp.int8), self.kshape),
+            "kernel_scale": self.param(
+                "kernel_scale", nn.initializers.ones, (self.kshape[-1],)),
+        }
+        if self.use_bias:
+            out["bias"] = self.param(
+                "bias", torch_fan_in_bias_init(self.fan_in),
+                (self.kshape[-1],))
+        return out
+
 
 class TorchDense(nn.Module):
-    """nn.Dense with PyTorch-default initialization."""
+    """nn.Dense with PyTorch-default initialization (+ optional w8a8)."""
 
     features: int
     use_bias: bool = True
+    w8a8: bool = False
     dtype: jnp.dtype | None = None
     kernel_init: object = torch_linear_kernel_init
     bias_init: object = None
@@ -109,6 +153,15 @@ class TorchDense(nn.Module):
     def __call__(self, x):
         fan_in = x.shape[-1]
         bias_init = self.bias_init or torch_fan_in_bias_init(fan_in)
+        if self.w8a8:
+            from hifidiff_tpu.ops.quant import dense_w8a8
+
+            sub = _W8A8Params((fan_in, self.features), fan_in,
+                              self.use_bias, name="dense")()
+            y = dense_w8a8(x, sub["kernel_q"], sub["kernel_scale"])
+            if self.use_bias:
+                y = y + sub["bias"]
+            return y.astype(x.dtype)
         return nn.Dense(
             features=self.features,
             use_bias=self.use_bias,

@@ -33,12 +33,14 @@ class SimplifiedChannelAttention(nn.Module):
     """Global average pool -> 1x1 conv -> multiplicative per-channel gate."""
 
     channels: int
+    w8a8: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
-        w = TorchConv(self.channels, (1, 1), dtype=self.dtype, name="conv")(pooled)
+        w = TorchConv(self.channels, (1, 1), w8a8=self.w8a8,
+                      dtype=self.dtype, name="conv")(pooled)
         return x * w
 
 
@@ -80,6 +82,7 @@ class ConditionalNAFBlock(nn.Module):
     time_dim: int = 512
     dw_expand: int = 2
     ffn_expand: int = 2
+    w8a8: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -89,28 +92,32 @@ class ConditionalNAFBlock(nn.Module):
         dw = c * self.dw_expand
         ffn = c * self.ffn_expand
 
-        film = TorchDense(4 * c, dtype=self.dtype, name="time_proj")(
-            simple_gate(t)
-        )
+        film = TorchDense(4 * c, w8a8=self.w8a8, dtype=self.dtype,
+                          name="time_proj")(simple_gate(t))
         shift_att, scale_att, shift_ffn, scale_ffn = jnp.split(film, 4,
                                                                axis=-1)
 
         inp = x
         x = LayerNorm2d(c, name="norm1")(x, scale=scale_att, shift=shift_att)
-        x = TorchConv(dw, (1, 1), dtype=self.dtype, name="conv1")(x)
+        x = TorchConv(dw, (1, 1), w8a8=self.w8a8, dtype=self.dtype,
+                      name="conv1")(x)
         x = TorchConv(dw, (3, 3), padding=1, feature_group_count=dw,
-                      dtype=self.dtype, name="conv2")(x)
+                      w8a8=self.w8a8, dtype=self.dtype, name="conv2")(x)
         x = simple_gate(x)
-        x = SimplifiedChannelAttention(dw // 2, dtype=self.dtype, name="sca")(x)
-        x = TorchConv(c, (1, 1), dtype=self.dtype, name="conv3")(x)
+        x = SimplifiedChannelAttention(dw // 2, w8a8=self.w8a8,
+                                       dtype=self.dtype, name="sca")(x)
+        x = TorchConv(c, (1, 1), w8a8=self.w8a8, dtype=self.dtype,
+                      name="conv3")(x)
 
         beta = self.param("beta", nn.initializers.zeros, (c,))
         y = inp + x * beta.astype(x.dtype)
 
         x = LayerNorm2d(c, name="norm2")(y, scale=scale_ffn, shift=shift_ffn)
-        x = TorchConv(ffn, (1, 1), dtype=self.dtype, name="conv4")(x)
+        x = TorchConv(ffn, (1, 1), w8a8=self.w8a8, dtype=self.dtype,
+                      name="conv4")(x)
         x = simple_gate(x)
-        x = TorchConv(c, (1, 1), dtype=self.dtype, name="conv5")(x)
+        x = TorchConv(c, (1, 1), w8a8=self.w8a8, dtype=self.dtype,
+                      name="conv5")(x)
 
         gamma = self.param("gamma", nn.initializers.zeros, (c,))
         return y + x * gamma.astype(x.dtype)

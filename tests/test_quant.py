@@ -1,0 +1,69 @@
+"""w8a8 int8 inference-path tests: converter structure + numeric drift
+bounds vs the f32 path."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from hifidiff_tpu.models import FusedDenoiser
+from hifidiff_tpu.ops.quant import (
+    dense_w8a8,
+    quantize_variables,
+    quantize_weight_per_cout,
+)
+
+RNG = np.random.default_rng(23)
+
+
+class TestQuantPrimitives:
+    def test_weight_quantization_roundtrip(self):
+        w = jnp.asarray(RNG.standard_normal((64, 32), dtype=np.float32))
+        q, s = quantize_weight_per_cout(w)
+        assert q.dtype == jnp.int8 and s.shape == (32,)
+        recon = q.astype(jnp.float32) * s
+        rel = float(jnp.abs(recon - w).max() / jnp.abs(w).max())
+        assert rel < 1e-2  # <= half a quant step relative to the max
+
+    def test_dense_w8a8_accuracy(self):
+        x = jnp.asarray(RNG.standard_normal((8, 128), dtype=np.float32))
+        w = jnp.asarray(RNG.standard_normal((128, 64), dtype=np.float32))
+        q, s = quantize_weight_per_cout(w)
+        y = dense_w8a8(x, q, s)
+        ref = x @ w
+        rel = float(jnp.linalg.norm(y - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.02, rel
+
+
+class TestQuantizedDenoiser:
+    def test_convert_and_forward_close_to_f32(self):
+        kwargs = dict(width=16, latent_size=8, enc_nums=(1, 1), mid_num=1,
+                      dec_nums=(1, 1))
+        f32_model = FusedDenoiser(**kwargs)
+        q_model = FusedDenoiser(w8a8=True, **kwargs)
+        key = jax.random.PRNGKey(0)
+
+        lat = jax.random.normal(key, (2, 8, 8, 4))
+        t = jnp.array([10.0, 700.0])
+        prior_shapes = [(2, 2, 2, 64), (2, 4, 4, 32), (2, 8, 8, 16)]
+        priors = [jax.random.normal(jax.random.fold_in(key, i), s)
+                  for i, s in enumerate(prior_shapes)]
+        emb = jax.random.normal(key, (2, 2048))
+
+        fv = f32_model.init(key, lat, t, priors, emb, train=False)
+        q_shapes = jax.eval_shape(
+            lambda k: q_model.init(k, lat, t, priors, emb, train=False), key)
+        q_params = quantize_variables(fv["params"], q_shapes["params"])
+        # structure must match exactly
+        assert (jax.tree_util.tree_structure(q_params)
+                == jax.tree_util.tree_structure(q_shapes["params"]))
+
+        out_f = f32_model.apply(fv, lat, t, priors, emb, train=False)
+        out_q = q_model.apply(
+            {"params": q_params, "batch_stats": fv.get("batch_stats", {})},
+            lat, t, priors, emb, train=False)
+        rel = float(jnp.linalg.norm(out_q - out_f)
+                    / jnp.maximum(jnp.linalg.norm(out_f), 1e-9))
+        # int8 across ~10 quantized layers: a few percent relative drift
+        assert rel < 0.15, rel
+        assert bool(jnp.isfinite(out_q).all())
