@@ -3,8 +3,10 @@
 Workload (BASELINE.md): 50-step DDIM, 16x16x4 latents -> 128x128 faces,
 full pipeline per face = CR (NAFNet-UNet + 13 STNs, pixel space) ->
 VAE-encode -> FPG priors + IDC ResNet-50 embedding (once) -> 50x
-FusedDenoiser -> VAE-decode. The whole pipeline is ONE jitted XLA program
-(scan over the reverse loop), bf16 compute / f32 params.
+FusedDenoiser -> VAE-decode. Default execution: three chained jitted
+stages (prep / DDIM lax.scan / decode — see
+`pipeline.build_refiner_sampler_split` for the stage-count study), bf16
+compute AND bf16 param storage, uint8 images at the boundary.
 
 Prints one JSON line:
   {"metric": "faces_per_sec_per_chip_128px_ddim50", "value": N,

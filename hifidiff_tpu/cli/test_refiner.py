@@ -62,6 +62,8 @@ class Config:
     grid_every: int = 10
     out_dir: str = "output/test_refiner"
     niqe_model: str = ""        # .npz with mu/cov from eval.niqe.fit_niqe_model
+    vgg16_ckpt: str = ""        # torchvision vgg16 state_dict (for LPIPS)
+    lpips_ckpt: str = ""        # lpips linear-head state_dict (for LPIPS)
 
 
 def main(argv=None) -> None:
@@ -139,7 +141,16 @@ def main(argv=None) -> None:
         m = np.load(cfg.niqe_model)
         niqe_fn = lambda im: niqe(im, m["mu"], m["cov"])  # noqa: E731
 
-    psnrs, ssims, niqes = [], [], []
+    lpips_fn = None
+    if cfg.vgg16_ckpt and cfg.lpips_ckpt:
+        from hifidiff_tpu.eval.lpips import load_lpips_params, lpips_distance
+        from hifidiff_tpu.utils.torch_import import load_torch_file
+
+        vgg_p, lins = load_lpips_params(load_torch_file(cfg.vgg16_ckpt),
+                                        load_torch_file(cfg.lpips_ckpt))
+        lpips_fn = jax.jit(lambda a, b: lpips_distance(vgg_p, lins, a, b))
+
+    psnrs, ssims, niqes, lpipss = [], [], [], []
     for i, batch in enumerate(loader):
         pred = sampler(sample_vars, jnp.asarray(batch["lr"]),
                        jax.random.fold_in(key, i))
@@ -147,6 +158,8 @@ def main(argv=None) -> None:
         gt_n = min_max_normalize(jnp.asarray(batch["gt"]))
         psnrs.append(float(psnr(pred_n, gt_n)))
         ssims.append(float(ssim(pred_n, gt_n)))
+        if lpips_fn is not None:
+            lpipss.append(float(jnp.mean(lpips_fn(pred_n, gt_n))))
         if niqe_fn is not None:
             niqes.extend(niqe_fn(np.asarray(p)) for p in pred_n)
         if cfg.grid_every and i % cfg.grid_every == 0:
@@ -159,6 +172,8 @@ def main(argv=None) -> None:
 
     print(f"PSNR: {np.mean(psnrs):.4f}")
     print(f"SSIM: {np.mean(ssims):.4f}")
+    if lpipss:
+        print(f"LPIPS: {np.mean(lpipss):.4f}")
     if niqes:
         print(f"NIQE: {np.mean(niqes):.4f}")
 

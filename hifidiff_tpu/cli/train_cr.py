@@ -49,6 +49,14 @@ class Config:
     width: int = 32
     enc_depths: str = "2,2,4,8"
     mid_depth: int = 8
+    # loss: "cr" = MSE + key-region (reference default, `train_cr.py:178`);
+    # "composite" = the reference's optional CRLoss (`loss.py:8-67`):
+    # smooth-L1 + key-region smooth-L1 + SSIM + (optional) VGG terms
+    loss: str = "cr"
+    lambda_pix: float = 1.0
+    lambda_ssim: float = 0.0
+    lambda_vgg: float = 0.0
+    vgg19_ckpt: str = ""   # torchvision vgg19 state_dict for the VGG term
     seed: int = 0
     synthetic: int = 0          # >0: use N synthetic samples (smoke mode)
     save_epoch: int = 5
@@ -99,9 +107,31 @@ def main(argv=None) -> None:
         start_epoch = int(state.step) // max(1, len(train_loader))
         print(f"resumed at step {int(state.step)} (epoch {start_epoch})")
 
+    loss_fn = None
+    if cfg.loss == "composite":
+        import functools
+
+        from hifidiff_tpu.train.losses import composite_cr_loss
+
+        vgg_fn = None
+        if cfg.lambda_vgg > 0 and cfg.vgg19_ckpt:
+            from hifidiff_tpu.eval.vgg import (
+                make_vgg_features_fn,
+                vgg19_params_from_torch,
+            )
+            from hifidiff_tpu.utils.torch_import import load_torch_file
+
+            vgg_fn = make_vgg_features_fn(
+                vgg19_params_from_torch(load_torch_file(cfg.vgg19_ckpt)))
+        loss_fn = functools.partial(
+            composite_cr_loss, lambda_pix=cfg.lambda_pix,
+            lambda_ssim=cfg.lambda_ssim, lambda_vgg=cfg.lambda_vgg,
+            vgg_features_fn=vgg_fn)
+
     mesh = make_mesh()
     state = jax.device_put(state, replicated(mesh))
-    train_step = jax.jit(make_cr_train_step(model), donate_argnums=0)
+    train_step = jax.jit(make_cr_train_step(model, loss_fn),
+                         donate_argnums=0)
     eval_step = jax.jit(make_cr_eval_step(model))
 
     logger = MetricsLogger("logs", "hifi_cr", cfg.name,

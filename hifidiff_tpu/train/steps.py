@@ -56,15 +56,20 @@ class TrainState:
         )
 
 
-def make_cr_train_step(model) -> Callable:
+def make_cr_train_step(model, loss_fn: Optional[Callable] = None) -> Callable:
+    """loss_fn(pred, gt, patches) defaults to the reference's cr_loss
+    (`train_cr.py:178`); pass `composite_cr_loss` variants for the optional
+    CRLoss (`loss.py:8-67`)."""
+    loss_fn = loss_fn or cr_loss
+
     def step(state: TrainState, batch, key):
         lr_img, gt, patches = batch["lr"], batch["gt"], batch["patches"]
 
-        def loss_fn(params):
+        def objective(params):
             pred = model.apply({"params": params}, lr_img)
-            return cr_loss(pred, gt, patches)
+            return loss_fn(pred, gt, patches)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        loss, grads = jax.value_and_grad(objective)(state.params)
         return state.apply_gradients(grads), {"loss": loss}
 
     return step
