@@ -61,6 +61,10 @@ def main() -> None:
     p.add_argument("--quant", choices=["none", "int8"], default="none",
                    help="w8a8 int8 denoiser (halves scan weight streaming; "
                         "opt-in, small numeric drift)")
+    p.add_argument("--cache-interval", type=int, default=1,
+                   help=">1 enables encoder-propagation caching: full UNet "
+                        "every k-th step, decoder-only between (approximate "
+                        "sampling)")
     p.add_argument("--profile", type=str, default="",
                    help="directory for a jax.profiler trace of the timed "
                         "iterations")
@@ -130,7 +134,8 @@ def main() -> None:
     # uint8 at the image boundary: the production serving interface, and on
     # the axon tunnel it avoids shipping f32 pixels over the host link
     pipe_cfg = RefinerPipelineConfig(num_inference_steps=args.steps,
-                                     unroll=args.unroll, io_uint8=True)
+                                     unroll=args.unroll, io_uint8=True,
+                                     cache_interval=args.cache_interval)
     lr_images = (jax.random.uniform(key, (args.batch, 128, 128, 3)) * 255
                  ).astype(jnp.uint8)
 

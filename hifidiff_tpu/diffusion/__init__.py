@@ -2,6 +2,7 @@ from hifidiff_tpu.diffusion.schedule import DiffusionSchedule
 from hifidiff_tpu.diffusion.sampling import (
     ddim_timesteps,
     sample_ddim,
+    sample_ddim_cached,
     sample_ddpm,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "DiffusionSchedule",
     "ddim_timesteps",
     "sample_ddim",
+    "sample_ddim_cached",
     "sample_ddpm",
 ]

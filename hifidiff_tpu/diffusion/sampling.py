@@ -98,6 +98,71 @@ def sample_ddim(
     return final
 
 
+def sample_ddim_cached(
+    encode_fn: Callable,
+    decode_fn: Callable,
+    latents: jax.Array,
+    schedule: DiffusionSchedule,
+    num_inference_steps: int = 50,
+    cache_interval: int = 1,
+    clip_sample: bool = False,
+    clip_sample_range: float = 1.0,
+    steps_offset: int = 0,
+) -> jax.Array:
+    """DDIM (eta=0) with encoder-propagation caching.
+
+    The UNet encoder's features drift slowly across adjacent timesteps
+    (arXiv:2312.09608 "Faster Diffusion"; arXiv:2312.03209 block caching).
+    Every `cache_interval`-th step runs the full network and refreshes the
+    conditioned bottleneck + skip cache; the steps between run ONLY the
+    decoder half with a fresh time embedding. interval=1 is numerically
+    identical to `sample_ddim`; larger intervals trade fidelity for up to
+    ~60% of the per-step FLOPs/weight-streaming.
+
+    Args:
+      encode_fn(x, t_batch) -> cache pytree ({"x", "skips"}).
+      decode_fn(cache, t_batch) -> predicted epsilon.
+    """
+    acp = np.asarray(schedule.alphas_cumprod)
+    ts = ddim_timesteps(schedule.num_train_timesteps, num_inference_steps,
+                        steps_offset)
+    prev_ts = ts - schedule.num_train_timesteps // num_inference_steps
+    alpha_t = acp[ts]
+    alpha_prev = np.where(prev_ts >= 0, acp[np.clip(prev_ts, 0, None)], 1.0)
+    refresh = (np.arange(num_inference_steps) % max(1, cache_interval)) == 0
+    refresh[0] = False  # step 0's cache is computed before the scan
+
+    xs = {
+        "t": jnp.asarray(ts, dtype=jnp.float32),
+        "alpha_t": jnp.asarray(alpha_t, dtype=jnp.float32),
+        "alpha_prev": jnp.asarray(alpha_prev, dtype=jnp.float32),
+        "refresh": jnp.asarray(refresh),
+    }
+    batch = latents.shape[0]
+
+    t0 = jnp.full((batch,), float(ts[0]), dtype=jnp.float32)
+    cache0 = encode_fn(latents, t0)
+
+    def step(carry, c):
+        x, cache = carry
+        t_batch = jnp.full((batch,), c["t"], dtype=jnp.float32)
+        cache = jax.lax.cond(
+            c["refresh"],
+            lambda operand: encode_fn(*operand),
+            lambda operand: cache,
+            (x, t_batch))
+        eps = decode_fn(cache, t_batch)
+        x0 = _x0_from_eps(x, eps, c["alpha_t"])
+        if clip_sample:
+            x0 = jnp.clip(x0, -clip_sample_range, clip_sample_range)
+        x_prev = (jnp.sqrt(c["alpha_prev"]) * x0
+                  + jnp.sqrt(1.0 - c["alpha_prev"]) * eps)
+        return (x_prev, cache), None
+
+    (final, _), _ = jax.lax.scan(step, (latents, cache0), xs)
+    return final
+
+
 def sample_ddpm(
     eps_fn: EpsFn,
     latents: jax.Array,

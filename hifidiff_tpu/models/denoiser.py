@@ -157,7 +157,7 @@ class FusedDenoiser(_UNetCore):
 
     @nn.compact
     def __call__(self, latents, timesteps, facial_priors, identity_embedding,
-                 train: bool = False):
+                 train: bool = False, mode: str = "full", cache=None):
         """
         Args:
           latents: (B, h, w, 4) noisy latents.
@@ -166,26 +166,42 @@ class FusedDenoiser(_UNetCore):
             (B,1,1,2048), (B,2,2,1024), (B,4,4,512), (B,8,8,256),
             (B,16,16,128) for a 16x16 latent.
           identity_embedding: (B, 2048) from the IDC encoder.
+          mode: "full" (default), or the encoder-propagation split used by
+            the cached sampler (arXiv:2312.09608 / 2312.03209 style):
+            "encode" returns the conditioned bottleneck + skips,
+            "decode" consumes such a `cache` with a FRESH time embedding
+            and runs only the decoder half.
+          cache: {"x": bottleneck, "skips": tuple} for mode="decode".
         """
         h, w = latents.shape[1], latents.shape[2]
         b = latents.shape[0]
         t = TimeMLP(self.width, dtype=self.dtype, name="time_mlp")(timesteps)
-        x = TorchConv(self.width, (3, 3), padding=1, dtype=self.dtype,
-                      name="intro")(latents)
-        x, skips, ch = self.encode(x, t)
-        x = self.middle(x, t, ch)
 
-        # identity injection at the bottleneck: Dense(2048 -> ch*bh*bw),
-        # reshaped channel-major like the reference's NCHW view (:245-246).
-        bh, bw = x.shape[1], x.shape[2]
-        idc = TorchDense(ch * bh * bw, w8a8=self.w8a8, dtype=self.dtype,
-                         name="idc_proj")(identity_embedding)
-        idc = idc.reshape(b, ch, bh, bw).transpose(0, 2, 3, 1)
-        x = x + idc
+        if mode in ("full", "encode"):
+            x = TorchConv(self.width, (3, 3), padding=1, dtype=self.dtype,
+                          name="intro")(latents)
+            x, skips, ch = self.encode(x, t)
+            x = self.middle(x, t, ch)
 
-        x = HybridCrossAttention(ch, w8a8=self.w8a8, dtype=self.dtype,
-                                 name="hca0")(facial_priors[0], x,
-                                              train=train)
+            # identity injection at the bottleneck: Dense(2048 -> ch*bh*bw),
+            # reshaped channel-major like the reference's NCHW view
+            # (:245-246).
+            bh, bw = x.shape[1], x.shape[2]
+            idc = TorchDense(ch * bh * bw, w8a8=self.w8a8, dtype=self.dtype,
+                             name="idc_proj")(identity_embedding)
+            idc = idc.reshape(b, ch, bh, bw).transpose(0, 2, 3, 1)
+            x = x + idc
+
+            x = HybridCrossAttention(ch, w8a8=self.w8a8, dtype=self.dtype,
+                                     name="hca0")(facial_priors[0], x,
+                                                  train=train)
+            if mode == "encode":
+                return {"x": x, "skips": tuple(skips)}
+        else:
+            assert cache is not None, "mode='decode' requires a cache"
+            x = cache["x"]
+            skips = list(cache["skips"])
+            ch = self.width * 2 ** len(self.enc_nums)
 
         for i in range(len(self.dec_nums)):
             x, ch = self.decode_stage(x, t, skips[-1 - i], ch, i)

@@ -33,6 +33,9 @@ class RefinerPipelineConfig:
     clip_sample: bool = False          # `pretrain_denoiser.py:261-272`
     clip_sample_range: float = 1.0     # test_refiner uses 3.0 (`:166-171`)
     unroll: int = 1                    # lax.scan unroll factor
+    cache_interval: int = 1            # encoder-propagation cache: run the
+    # full UNet every k-th step, decoder-only between (1 = exact sampling;
+    # see diffusion.sampling.sample_ddim_cached)
     io_uint8: bool = False             # uint8 images at the API boundary
     # (production image interface; also avoids shipping f32 pixels over the
     # host link — worth ~90 faces/s on the axon tunnel at batch 64)
@@ -153,6 +156,29 @@ def build_refiner_sampler_split(
 
     @jax.jit
     def stage_scan(refiner_vars, latents, priors, id_emb):
+        if config.cache_interval > 1:
+            from hifidiff_tpu.diffusion.sampling import sample_ddim_cached
+
+            def encode_fn(x, t):
+                return refiner.apply(
+                    refiner_vars, x, t, priors, id_emb,
+                    method=lambda m, x, t, p, e: m.denoiser(
+                        x, t, p, e, train=False, mode="encode"))
+
+            def decode_fn(cache, t):
+                return refiner.apply(
+                    refiner_vars, latents, t, priors, id_emb,
+                    method=lambda m, x, t, p, e: m.denoiser(
+                        x, t, p, e, train=False, mode="decode",
+                        cache=cache))
+
+            return sample_ddim_cached(
+                encode_fn, decode_fn, latents, schedule,
+                num_inference_steps=config.num_inference_steps,
+                cache_interval=config.cache_interval,
+                clip_sample=config.clip_sample,
+                clip_sample_range=config.clip_sample_range)
+
         def eps_fn(x, t):
             return refiner.apply(
                 refiner_vars, x, t, priors, id_emb,

@@ -56,6 +56,72 @@ class TestRefinerSampler:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
         assert float(a.min()) >= 0.0 and float(a.max()) <= 1.0
 
+    def test_cached_sampler_interval1_exact(self):
+        """cache_interval=1 refreshes every step -> bitwise-equal to the
+        plain sampler; interval=3 drifts but stays sane."""
+        refiner, cr, vae, variables, cfg, res = tiny_stack()
+        schedule = DiffusionSchedule.create()
+        key = jax.random.PRNGKey(3)
+        lr = jax.random.uniform(jax.random.PRNGKey(4), (2, res, res, 3))
+
+        import dataclasses
+
+        plain = build_refiner_sampler_split(refiner, cr, vae, schedule,
+                                            dataclasses.replace(
+                                                cfg, num_inference_steps=6))
+        cached1 = build_refiner_sampler_split(
+            refiner, cr, vae, schedule,
+            dataclasses.replace(cfg, num_inference_steps=6,
+                                cache_interval=1))
+        # interval=1 goes through the plain path; force the cached path by
+        # interval=1 -> use 2 then compare drift bounds instead
+        a = plain(variables, lr, key)
+        b = cached1(variables, lr, key)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+        cached3 = build_refiner_sampler_split(
+            refiner, cr, vae, schedule,
+            dataclasses.replace(cfg, num_inference_steps=6,
+                                cache_interval=3))
+        c = cached3(variables, lr, key)
+        assert bool(jnp.isfinite(c).all())
+        # same value range, moderate drift from the exact trajectory
+        assert float(jnp.abs(c - a).mean()) < 0.5
+
+    def test_cached_sampler_every_step_refresh_matches(self):
+        """Drive sample_ddim_cached directly with interval=1 semantics
+        (refresh every step) and check it equals sample_ddim."""
+        from hifidiff_tpu.diffusion import sample_ddim, sample_ddim_cached
+        from hifidiff_tpu.models import FusedDenoiser
+
+        kwargs = dict(width=16, latent_size=8, enc_nums=(1, 1), mid_num=1,
+                      dec_nums=(1, 1))
+        model = FusedDenoiser(**kwargs)
+        key = jax.random.PRNGKey(0)
+        lat = jax.random.normal(key, (2, 8, 8, 4))
+        prior_shapes = [(2, 2, 2, 64), (2, 4, 4, 32), (2, 8, 8, 16)]
+        priors = [jax.random.normal(jax.random.fold_in(key, i), s)
+                  for i, s in enumerate(prior_shapes)]
+        emb = jax.random.normal(key, (2, 2048))
+        v = model.init(key, lat, jnp.zeros((2,)), priors, emb, train=False)
+        schedule = DiffusionSchedule.create()
+
+        def eps_fn(x, t):
+            return model.apply(v, x, t, priors, emb, train=False)
+
+        def encode_fn(x, t):
+            return model.apply(v, x, t, priors, emb, train=False,
+                               mode="encode")
+
+        def decode_fn(cache, t):
+            return model.apply(v, lat, t, priors, emb, train=False,
+                               mode="decode", cache=cache)
+
+        a = sample_ddim(eps_fn, lat, schedule, num_inference_steps=4)
+        b = sample_ddim_cached(encode_fn, decode_fn, lat, schedule,
+                               num_inference_steps=4, cache_interval=1)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
     def test_unconditional_sampler(self):
         _, _, vae, variables, _, res = tiny_stack()
         from hifidiff_tpu.models import Denoiser
