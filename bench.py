@@ -65,6 +65,11 @@ def main() -> None:
                    help=">1 enables encoder-propagation caching: full UNet "
                         "every k-th step, decoder-only between (approximate "
                         "sampling)")
+    p.add_argument("--workload", choices=["infer", "train"], default="infer",
+                   help="train = stage-3 denoiser pretraining step "
+                        "(VAE-encode + UNet fwd/bwd + AdamW), images/sec")
+    p.add_argument("--remat", type=int, default=0,
+                   help="train workload: jax.checkpoint the UNet blocks")
     p.add_argument("--profile", type=str, default="",
                    help="directory for a jax.profiler trace of the timed "
                         "iterations")
@@ -88,6 +93,10 @@ def main() -> None:
 
     log("devices:", jax.devices())
     key = jax.random.PRNGKey(0)
+
+    if args.workload == "train":
+        bench_train(args, dtype, key, log)
+        return
 
     cr = CoarseRestoration(dtype=dtype)
     vae = AutoencoderKL(dtype=dtype)
@@ -189,6 +198,55 @@ def main() -> None:
         "value": round(faces_per_sec, 3),
         "unit": "faces/sec",
         "vs_baseline": round(faces_per_sec / baseline_faces_per_sec, 3),
+    }))
+
+
+def bench_train(args, dtype, key, log) -> None:
+    """Stage-3 denoiser pretraining step (BASELINE config 5): frozen-VAE
+    encode + DDPM noising + UNet fwd/bwd + AdamW update, bf16 compute /
+    f32 params, on-device batch."""
+    from hifidiff_tpu.diffusion import DiffusionSchedule
+    from hifidiff_tpu.models import Denoiser
+    from hifidiff_tpu.train.optim import adamw_cosine
+    from hifidiff_tpu.train.steps import TrainState, make_denoiser_train_step
+    from hifidiff_tpu.vae import AutoencoderKL
+
+    denoiser = Denoiser(dtype=dtype, remat=bool(args.remat))
+    vae = AutoencoderKL(dtype=dtype)
+    schedule = DiffusionSchedule.create()
+
+    t0 = time.time()
+    dn_params = jax.jit(lambda k: denoiser.init(
+        k, jnp.zeros((1, 16, 16, 4)), jnp.zeros((1,))))(key)["params"]
+    vae_params = jax.jit(vae.init)(key, jnp.zeros((1, 128, 128, 3)))["params"]
+    jax.block_until_ready((dn_params, vae_params))
+    log(f"init done in {time.time() - t0:.1f}s")
+
+    state = TrainState.create(
+        dn_params, adamw_cosine(total_steps=1000, warmup_steps=0))
+    step = jax.jit(make_denoiser_train_step(denoiser, vae, schedule),
+                   donate_argnums=0)
+    images = jax.random.uniform(key, (args.batch, 128, 128, 3))
+
+    t0 = time.time()
+    state, m = step(state, vae_params, images, key)
+    jax.block_until_ready(m["loss"])
+    log(f"warmup (incl. compile) done in {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    for i in range(args.iters):
+        state, m = step(state, vae_params, images,
+                        jax.random.fold_in(key, i))
+    jax.block_until_ready(m["loss"])
+    dt = time.time() - t0
+    imgs_per_sec = args.batch * args.iters / dt
+    log(f"{args.iters} iters x batch {args.batch} in {dt:.3f}s, "
+        f"loss={float(m['loss']):.4f}")
+    print(json.dumps({
+        "metric": "train_images_per_sec_denoiser_pretrain_128px",
+        "value": round(imgs_per_sec, 3),
+        "unit": "images/sec",
+        "vs_baseline": 0.0,
     }))
 
 

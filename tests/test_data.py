@@ -128,6 +128,62 @@ class TestMultiPIE:
         assert ds[0]["image"].shape == (128, 128, 3)
 
 
+def make_kface_crop_tree(root, split="train", ids=("a", "b"),
+                         with_patches=True):
+    lights = ["L1", "L2", "L3", "L4", "L8", "L9", "L10", "L13"]
+    for pid in ids:
+        for light in lights[:2]:  # sparse: only 2 light conds exist
+            for expr in ("E01", "E02", "E03"):
+                base = os.path.join(root, split, pid, "S001", light, expr)
+                _save_img(os.path.join(base, "C7.jpg"))
+                for angle in (1, 3):  # sparse angle coverage
+                    _save_img(os.path.join(base, f"C{angle}.jpg"))
+                    if with_patches:
+                        # pre-rendered patches ship at the target size
+                        for k in range(8):
+                            _save_img(os.path.join(base,
+                                                   f"C{angle}_{k}.jpg"),
+                                      (128, 128))
+
+
+class TestKFaceCrop:
+    def test_crop_dataset(self, tmp_path):
+        from hifidiff_tpu.data import KFaceCropDataset
+
+        make_kface_crop_tree(str(tmp_path))
+        ds = KFaceCropDataset(str(tmp_path), split="train")
+        # 2 ids x 2 lights x 3 exprs x 2 existing angles
+        assert len(ds) == 2 * 2 * 3 * 2
+        s = ds[0]
+        assert s["lr"].shape == (128, 128, 3)
+        assert s["patches"].shape == (8, 128, 128, 3)
+
+    def test_crop_idc_dataset(self, tmp_path):
+        from hifidiff_tpu.data import KFaceCropIDCDataset
+
+        make_kface_crop_tree(str(tmp_path),
+                             ids=tuple(f"p{i:02d}" for i in range(21)),
+                             with_patches=False)
+        ds = KFaceCropIDCDataset(str(tmp_path), split="train")
+        assert len(ds) > 0
+        s = ds[0]
+        assert set(s.keys()) == {"lr", "gt", "other"}
+
+    def test_hr_datasets(self, tmp_path):
+        from hifidiff_tpu.data import KFaceCropHRDataset, KFaceHRDataset
+
+        make_kface_tree(str(tmp_path))
+        hr = KFaceHRDataset(str(tmp_path), size=64)
+        assert len(hr) == 2 * 2 * 3 * 20
+        assert hr[0]["image"].shape == (64, 64, 3)
+
+        make_kface_crop_tree(str(tmp_path / "crop"))
+        chr_ = KFaceCropHRDataset(str(tmp_path / "crop"), size=64)
+        # C7 + 2 angles per (id, light, expr)
+        assert len(chr_) == 2 * 2 * 3 * 3
+        assert chr_[0]["image"].shape == (64, 64, 3)
+
+
 class TestCelebAHQ:
     def test_flat_dir(self, tmp_path):
         for i in range(5):
