@@ -15,8 +15,6 @@ Reference quirk kept configurable: the reference flips input and GT
 from __future__ import annotations
 
 import os
-from typing import List, Optional
-
 import cv2
 import numpy as np
 from PIL import Image

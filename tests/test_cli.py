@@ -5,7 +5,6 @@ import os
 import sys
 
 import numpy as np
-import pytest
 
 from hifidiff_tpu.cli.common import (
     SyntheticFaceDataset,

@@ -4,7 +4,6 @@ the K-Face / Multi-PIE layouts (`dataset_kface.py`, `dataset_multipie.py`)."""
 import os
 
 import numpy as np
-import pytest
 from PIL import Image
 
 from hifidiff_tpu.data import (
