@@ -5,6 +5,7 @@ from hifidiff_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from hifidiff_tpu.parallel.tp import shard_params_tp
 
 __all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch",
-           "device_prefetch"]
+           "device_prefetch", "shard_params_tp"]
