@@ -45,11 +45,12 @@ FALLBACK_PIPELINE_TFLOPS_PER_FACE = 0.232
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    # batch sweep on v5e: 8 -> 24.3 f/s, 32 -> 64.6, 64 -> 135.8 (still
-    # compute-scaling; 64 fits comfortably in HBM)
-    p.add_argument("--batch", type=int, default=64)
+    # batch sweep on v5e (bf16 params, uint8 I/O, split stages):
+    # 64 -> ~170 f/s, 96 -> 201.3, 128 -> 137 (regresses). 96 is the
+    # sweet spot.
+    p.add_argument("--batch", type=int, default=96)
     p.add_argument("--steps", type=int, default=50)
-    p.add_argument("--iters", type=int, default=6)
+    p.add_argument("--iters", type=int, default=10)
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--cast-params", type=int, default=1,
                    help="store params in bf16 (halves per-step HBM param "
