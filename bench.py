@@ -74,6 +74,11 @@ def main() -> None:
     p.add_argument("--profile", type=str, default="",
                    help="directory for a jax.profiler trace of the timed "
                         "iterations")
+    p.add_argument("--no-hoist", action="store_true",
+                   help="disable scan-invariant hoisting (A/B diagnostics)")
+    p.add_argument("--stage-times", action="store_true",
+                   help="split mode: report per-stage (prep/scan/decode) "
+                        "times to stderr")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
@@ -145,7 +150,8 @@ def main() -> None:
     # the axon tunnel it avoids shipping f32 pixels over the host link
     pipe_cfg = RefinerPipelineConfig(num_inference_steps=args.steps,
                                      unroll=args.unroll, io_uint8=True,
-                                     cache_interval=args.cache_interval)
+                                     cache_interval=args.cache_interval,
+                                     hoist_invariants=not args.no_hoist)
     lr_images = (jax.random.uniform(key, (args.batch, 128, 128, 3)) * 255
                  ).astype(jnp.uint8)
 
@@ -168,10 +174,48 @@ def main() -> None:
         run = build_refiner_sampler_split(refiner, cr, vae, schedule,
                                           pipe_cfg)
 
+    import numpy as _np
+
+    def sync(x):
+        """Force completion via a tiny d2h read. On the axon tunnel,
+        block_until_ready can return before execution finishes and the
+        server memoizes identical pending computations — a d2h of the
+        final output is the only airtight barrier (and inputs must differ
+        per iteration, which the fold_in'd keys ensure)."""
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        _np.asarray(leaf.ravel()[0:1])
+
     t0 = time.time()
     out = run(variables, lr_images, key)
-    jax.block_until_ready(out)
+    sync(out)
     log(f"warmup (incl. compile) done in {time.time() - t0:.1f}s")
+
+    if args.stage_times and hasattr(run, "stages"):
+        rvars = {"params": variables["refiner"]["params"],
+                 "batch_stats": variables["refiner"]["batch_stats"]}
+        latents, priors, id_emb = run.stages["prep"](
+            variables["cr"], variables["vae"], rvars, lr_images, key)
+        final = run.stages["scan"](rvars, latents, priors, id_emb)
+        sync(final)
+        # distinct inputs per iteration (the axon server memoizes identical
+        # pending computations), one d2h sync per stage loop
+        for name, call in (
+            ("prep", lambda i: run.stages["prep"](
+                variables["cr"], variables["vae"], rvars, lr_images,
+                jax.random.fold_in(key, i))),
+            ("scan", lambda i: run.stages["scan"](
+                rvars, latents + 1e-3 * i, priors, id_emb)),
+            ("decode", lambda i: run.stages["decode"](
+                variables["vae"], final + 1e-3 * i)),
+        ):
+            t0 = time.time()
+            for i in range(args.iters):
+                o = call(i)
+            sync(o)
+            dt = (time.time() - t0) / args.iters
+            print(f"[stage] {name}: {dt * 1e3:.1f} ms/iter "
+                  f"({args.batch / dt:.1f} faces/s)", file=sys.stderr,
+                  flush=True)
 
     from hifidiff_tpu.utils.logging import profile_trace
 
@@ -179,7 +223,7 @@ def main() -> None:
     with profile_trace(args.profile or None):
         for i in range(args.iters):
             out = run(variables, lr_images, jax.random.fold_in(key, i))
-        jax.block_until_ready(out)
+        sync(out)
     dt = time.time() - t0
 
     faces_per_sec = args.batch * args.iters / dt
@@ -229,16 +273,18 @@ def bench_train(args, dtype, key, log) -> None:
                    donate_argnums=0)
     images = jax.random.uniform(key, (args.batch, 128, 128, 3))
 
+    import numpy as _np
+
     t0 = time.time()
     state, m = step(state, vae_params, images, key)
-    jax.block_until_ready(m["loss"])
+    _np.asarray(m["loss"])  # d2h sync (see `sync` in main)
     log(f"warmup (incl. compile) done in {time.time() - t0:.1f}s")
 
     t0 = time.time()
     for i in range(args.iters):
         state, m = step(state, vae_params, images,
                         jax.random.fold_in(key, i))
-    jax.block_until_ready(m["loss"])
+    _np.asarray(m["loss"])  # d2h sync
     dt = time.time() - t0
     imgs_per_sec = args.batch * args.iters / dt
     log(f"{args.iters} iters x batch {args.batch} in {dt:.3f}s, "

@@ -29,7 +29,14 @@ from hifidiff_tpu.data import (
 )
 from hifidiff_tpu.diffusion import DiffusionSchedule
 from hifidiff_tpu.models import Denoiser
-from hifidiff_tpu.parallel import make_mesh, replicated, shard_batch
+from hifidiff_tpu.parallel import (
+    is_main_process,
+    make_mesh,
+    maybe_initialize,
+    process_count,
+    process_index,
+    replicate_global,
+)
 from hifidiff_tpu.pipeline import build_unconditional_sampler
 from hifidiff_tpu.train.checkpoint import CheckpointManager
 from hifidiff_tpu.train.optim import adamw_cosine
@@ -71,6 +78,7 @@ class Config:
 
 def main(argv=None) -> None:
     cfg = parse_config(Config, argv, "Stage-3 denoiser pretraining")
+    maybe_initialize()  # multi-process: jax.distributed (Accelerate equiv)
     key = jax.random.PRNGKey(cfg.seed)
 
     if cfg.synthetic:
@@ -84,8 +92,10 @@ def main(argv=None) -> None:
             parts.append(CelebAHQDataset(cfg.celeba_root, size=cfg.size))
         assert parts, "need --multipie-root and/or --celeba-root"
         train_ds = ConcatDataset(parts)
+    # per-process shard of the global shuffle; batch_size is per-process
     train_loader = Loader(train_ds, cfg.batch_size, shuffle=True,
-                          seed=cfg.seed)
+                          seed=cfg.seed, shard_index=process_index(),
+                          num_shards=process_count())
 
     from hifidiff_tpu.cli.common import parse_ints
 
@@ -123,8 +133,8 @@ def main(argv=None) -> None:
         print(f"resumed at step {int(state.step)} (epoch {start_epoch})")
 
     mesh = make_mesh()
-    state = jax.device_put(state, replicated(mesh))
-    vae_params = jax.device_put(vae_params, replicated(mesh))
+    state = replicate_global(state, mesh)
+    vae_params = replicate_global(vae_params, mesh)
     train_step = jax.jit(make_denoiser_train_step(denoiser, vae, schedule),
                          donate_argnums=0)
     sampler = jax.jit(build_unconditional_sampler(
@@ -151,13 +161,15 @@ def main(argv=None) -> None:
             step += 1
 
         if epoch % cfg.save_model_epoch == 0 or epoch == cfg.num_epochs - 1:
-            ckpt.save(step, jax.device_get(state), wait=True)
+            if is_main_process():  # state is replicated; process-0 writes
+                ckpt.save(step, jax.device_get(state), wait=True)
         if epoch % cfg.save_image_epoch == 0 or epoch == cfg.num_epochs - 1:
             grid = sampler(state.params, vae_params,
                            jax.random.fold_in(key, 10_000 + epoch))
-            save_image_grid(np.asarray(grid),
-                            os.path.join(cfg.out_dir, cfg.name,
-                                         f"{epoch}.png"))
+            if is_main_process():
+                save_image_grid(np.asarray(grid),
+                                os.path.join(cfg.out_dir, cfg.name,
+                                             f"{epoch}.png"))
     ckpt.close()
     logger.close()
 

@@ -21,7 +21,15 @@ import numpy as np
 from hifidiff_tpu.cli.common import SyntheticFaceDataset, parse_config
 from hifidiff_tpu.data import Loader, MultiPIEIDCDataset
 from hifidiff_tpu.models import CoarseRestoration, IDCEncoder
-from hifidiff_tpu.parallel import make_mesh, replicated, shard_batch
+from hifidiff_tpu.parallel import (
+    is_main_process,
+    make_mesh,
+    maybe_initialize,
+    process_count,
+    process_index,
+    replicate_global,
+    shard_batch,
+)
 from hifidiff_tpu.train.checkpoint import CheckpointManager
 from hifidiff_tpu.train.losses import triplet_margin_loss
 from hifidiff_tpu.train.optim import adam
@@ -64,6 +72,7 @@ def load_cr_params(cfg: Config, model: CoarseRestoration, key):
 
 def main(argv=None) -> None:
     cfg = parse_config(Config, argv, "Stage-2 IDC pretraining")
+    maybe_initialize()  # multi-process jax.distributed (Accelerate equivalent)
     key = jax.random.PRNGKey(cfg.seed)
 
     if cfg.synthetic:
@@ -76,7 +85,8 @@ def main(argv=None) -> None:
         val_ds = MultiPIEIDCDataset(cfg.dataroot, split="test",
                                     size=cfg.size, seed=cfg.seed)
     train_loader = Loader(train_ds, cfg.batch_size, shuffle=True,
-                          seed=cfg.seed)
+                          seed=cfg.seed, shard_index=process_index(),
+                          num_shards=process_count())
     val_loader = Loader(val_ds, cfg.batch_size, shuffle=False)
 
     from hifidiff_tpu.cli.common import parse_ints
@@ -97,8 +107,8 @@ def main(argv=None) -> None:
         state = ckpt.restore(template=state)["state"]
 
     mesh = make_mesh()
-    state = jax.device_put(state, replicated(mesh))
-    cr_params = jax.device_put(cr_params, replicated(mesh))
+    state = replicate_global(state, mesh)
+    cr_params = replicate_global(cr_params, mesh)
     train_step = jax.jit(make_idc_train_step(idc, cr, cr_params),
                          donate_argnums=0)
 
@@ -130,7 +140,8 @@ def main(argv=None) -> None:
                       for b in val_loader]
         logger.log({"val_loss": float(np.mean(val_losses))}, step)
         if epoch % cfg.save_epoch == 0 or epoch == cfg.num_epochs - 1:
-            ckpt.save(step, jax.device_get(state), wait=True)
+            if is_main_process():
+                ckpt.save(step, jax.device_get(state), wait=True)
     ckpt.close()
     logger.close()
 

@@ -21,7 +21,16 @@ import numpy as np
 from hifidiff_tpu.cli.common import SyntheticFaceDataset, parse_config
 from hifidiff_tpu.data import Loader, MultiPIEDataset
 from hifidiff_tpu.models import CoarseRestoration
-from hifidiff_tpu.parallel import make_mesh, replicated, shard_batch
+from hifidiff_tpu.parallel import (
+    is_main_process,
+    local_shard,
+    make_mesh,
+    maybe_initialize,
+    process_count,
+    process_index,
+    replicate_global,
+    shard_batch,
+)
 from hifidiff_tpu.train.checkpoint import CheckpointManager
 from hifidiff_tpu.train.optim import adam
 from hifidiff_tpu.train.steps import (
@@ -83,10 +92,12 @@ def build_datasets(cfg: Config):
 
 def main(argv=None) -> None:
     cfg = parse_config(Config, argv, "Stage-1 CR training")
+    maybe_initialize()  # multi-process jax.distributed (Accelerate equivalent)
     key = jax.random.PRNGKey(cfg.seed)
     train_ds, val_ds = build_datasets(cfg)
     train_loader = Loader(train_ds, cfg.batch_size, shuffle=True,
-                          seed=cfg.seed)
+                          seed=cfg.seed, shard_index=process_index(),
+                          num_shards=process_count())
     val_loader = Loader(val_ds, cfg.batch_size, shuffle=False)
 
     from hifidiff_tpu.cli.common import parse_ints
@@ -129,7 +140,7 @@ def main(argv=None) -> None:
             vgg_features_fn=vgg_fn)
 
     mesh = make_mesh()
-    state = jax.device_put(state, replicated(mesh))
+    state = replicate_global(state, mesh)
     train_step = jax.jit(make_cr_train_step(model, loss_fn),
                          donate_argnums=0)
     eval_step = jax.jit(make_cr_eval_step(model))
@@ -146,11 +157,12 @@ def main(argv=None) -> None:
             timer.tick()
             logger.log({"train_loss": metrics["loss"],
                         "step_time": timer.mean, "epoch": epoch}, step)
-            if cfg.dump_every and i % cfg.dump_every == 0:
+            if cfg.dump_every and i % cfg.dump_every == 0 \
+                    and is_main_process():
                 pred, _ = eval_step(state.params, batch)
                 save_image_grid(
-                    side_by_side(np.asarray(batch["lr"]), np.asarray(pred),
-                                 np.asarray(batch["gt"])),
+                    side_by_side(local_shard(batch["lr"]), local_shard(pred),
+                                 local_shard(batch["gt"])),
                     os.path.join(cfg.out_dir, cfg.name,
                                  f"train_e{epoch}_b{i}.png"))
             step += 1
@@ -160,16 +172,18 @@ def main(argv=None) -> None:
             batch = shard_batch(batch, mesh)
             pred, m = eval_step(state.params, batch)
             val_losses.append(float(m["loss"]))
-            if cfg.dump_every and i % cfg.dump_every == 0:
+            if cfg.dump_every and i % cfg.dump_every == 0 \
+                    and is_main_process():
                 save_image_grid(
-                    side_by_side(np.asarray(batch["lr"]), np.asarray(pred),
-                                 np.asarray(batch["gt"])),
+                    side_by_side(local_shard(batch["lr"]), local_shard(pred),
+                                 local_shard(batch["gt"])),
                     os.path.join(cfg.out_dir, cfg.name,
                                  f"val_e{epoch}_b{i}.png"))
         logger.log({"val_loss": float(np.mean(val_losses))}, step)
 
         if epoch % cfg.save_epoch == 0 or epoch == cfg.num_epochs - 1:
-            ckpt.save(step, jax.device_get(state), wait=True)
+            if is_main_process():
+                ckpt.save(step, jax.device_get(state), wait=True)
     ckpt.close()
     logger.close()
 

@@ -25,7 +25,16 @@ from hifidiff_tpu.data import Loader, MultiPIEDataset
 from hifidiff_tpu.diffusion import DiffusionSchedule
 from hifidiff_tpu.eval.metrics import min_max_normalize, psnr, ssim
 from hifidiff_tpu.models import CoarseRestoration, FacialRefiner
-from hifidiff_tpu.parallel import make_mesh, replicated, shard_batch
+from hifidiff_tpu.parallel import (
+    is_main_process,
+    local_shard,
+    make_mesh,
+    maybe_initialize,
+    process_count,
+    process_index,
+    replicate_global,
+    shard_batch,
+)
 from hifidiff_tpu.pipeline import (
     RefinerPipelineConfig,
     build_refiner_sampler_split,
@@ -83,6 +92,7 @@ class Config:
 
 def main(argv=None) -> None:
     cfg = parse_config(Config, argv, "Stage-4 refiner training")
+    maybe_initialize()  # multi-process jax.distributed (Accelerate equivalent)
     key = jax.random.PRNGKey(cfg.seed)
     from hifidiff_tpu.cli.common import parse_ints
 
@@ -101,7 +111,8 @@ def main(argv=None) -> None:
                                  model_type=cfg.model_type, size=cfg.size,
                                  use_blind=False, seed=cfg.seed)
     train_loader = Loader(train_ds, cfg.batch_size, shuffle=True,
-                          seed=cfg.seed)
+                          seed=cfg.seed, shard_index=process_index(),
+                          num_shards=process_count())
     val_loader = Loader(val_ds, cfg.batch_size, shuffle=False)
 
     cr = CoarseRestoration(width=cfg.cr_width, resolution=cfg.size,
@@ -157,9 +168,9 @@ def main(argv=None) -> None:
         start_epoch = int(state.step) // max(1, len(train_loader))
 
     mesh = make_mesh()
-    state = jax.device_put(state, replicated(mesh))
-    frozen = jax.device_put({"cr": cr_params, "vae": vae_params},
-                            replicated(mesh))
+    state = replicate_global(state, mesh)
+    frozen = replicate_global({"cr": cr_params,
+                           "vae": vae_params}, mesh)
     train_step = jax.jit(make_refiner_train_step(refiner, cr, vae, schedule),
                          donate_argnums=0)
     sampler = build_refiner_sampler_split(
@@ -192,22 +203,23 @@ def main(argv=None) -> None:
                             "batch_stats": state.batch_stats},
                 "cr": frozen["cr"], "vae": frozen["vae"],
             }
-            pred = sampler(sample_vars, jnp.asarray(batch["lr"]),
+            pred = sampler(sample_vars, jlocal_shard(batch["lr"]),
                            jax.random.fold_in(key, 50_000 + i))
             pred_n = min_max_normalize(pred)
-            gt_n = min_max_normalize(jnp.asarray(batch["gt"]))
+            gt_n = min_max_normalize(jlocal_shard(batch["gt"]))
             psnrs.append(float(psnr(pred_n, gt_n)))
             ssims.append(float(ssim(pred_n, gt_n)))
             if i == 0:
                 save_image_grid(
-                    side_by_side(np.asarray(batch["lr"]), np.asarray(pred),
-                                 np.asarray(batch["gt"])),
+                    side_by_side(local_shard(batch["lr"]), local_shard(pred),
+                                 local_shard(batch["gt"])),
                     os.path.join(cfg.out_dir, cfg.name, f"val_e{epoch}.png"))
         logger.log({"val_psnr": float(np.mean(psnrs)),
                     "val_ssim": float(np.mean(ssims))}, step)
 
         if epoch % cfg.save_epoch == 0 or epoch == cfg.num_epochs - 1:
-            ckpt.save(step, jax.device_get(state), wait=True)
+            if is_main_process():
+                ckpt.save(step, jax.device_get(state), wait=True)
     ckpt.close()
     logger.close()
 

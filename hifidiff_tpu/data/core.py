@@ -58,12 +58,24 @@ def _collate(samples: List[Sample]) -> Sample:
 
 
 class Loader:
-    """Seeded, threaded, prefetching batch iterator."""
+    """Seeded, threaded, prefetching batch iterator.
+
+    Multi-process data parallelism (the Accelerate-sharded-DataLoader
+    equivalent, reference `pretrain_denoiser.py:282-287`): pass
+    `shard_index=jax.process_index(), num_shards=jax.process_count()` and
+    each process iterates a disjoint stride-slice of the SAME seeded
+    global shuffle (all processes must use the same seed). The order is
+    padded to a multiple of num_shards (torch DistributedSampler
+    semantics) so every process yields the same number of batches —
+    collective programs never deadlock on a ragged tail. `batch_size` is
+    the PER-PROCESS batch.
+    """
 
     def __init__(self, dataset: Dataset, batch_size: int,
                  shuffle: bool = True, drop_last: bool = False,
                  seed: int = 0, num_threads: int = 4,
-                 prefetch: int = 4):
+                 prefetch: int = 4, shard_index: Optional[int] = None,
+                 num_shards: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -72,9 +84,21 @@ class Loader:
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
         self.epoch = 0
+        self.shard_index = 0 if shard_index is None else int(shard_index)
+        self.num_shards = 1 if num_shards is None else int(num_shards)
+        if not (0 <= self.shard_index < self.num_shards):
+            raise ValueError(
+                f"shard_index {self.shard_index} not in "
+                f"[0, {self.num_shards})")
+
+    def _shard_len(self) -> int:
+        n = len(self.dataset)
+        if self.num_shards == 1:
+            return n
+        return (n + self.num_shards - 1) // self.num_shards
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -85,8 +109,14 @@ class Loader:
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self.epoch))
             rng.shuffle(order)
+        if self.num_shards > 1:
+            per = self._shard_len()
+            pad = per * self.num_shards - n
+            if pad:  # wrap-pad like torch DistributedSampler
+                order = np.concatenate([order, order[:pad]])
+            order = order[self.shard_index::self.num_shards]
         batches = [order[i:i + self.batch_size]
-                   for i in range(0, n, self.batch_size)]
+                   for i in range(0, len(order), self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
         return batches

@@ -47,13 +47,19 @@ def sample_ddim(
     key: Optional[jax.Array] = None,
     steps_offset: int = 0,
     unroll: int = 1,
+    per_step_aux=None,
 ) -> jax.Array:
     """Deterministic (eta=0) or stochastic DDIM, one fused scan.
 
     Args:
       eps_fn: closure over model params; gets (x_t, t_batch) and returns eps.
+        With `per_step_aux`, gets (x_t, t_batch, aux_slice) instead.
       latents: (B, h, w, C) initial noise.
       schedule: training schedule (1000-step scaled_linear for parity).
+      per_step_aux: optional pytree whose leaves have leading axis
+        `num_inference_steps` — scan-sliced per step and passed to eps_fn
+        (used for precomputed FiLM tables; see
+        FusedDenoiser mode="precompute").
     """
     acp = np.asarray(schedule.alphas_cumprod)
     ts = ddim_timesteps(schedule.num_train_timesteps, num_inference_steps,
@@ -74,11 +80,14 @@ def sample_ddim(
         "alpha_prev": jnp.asarray(alpha_prev, dtype=jnp.float32),
         "key": jnp.asarray(keys),
     }
+    if per_step_aux is not None:
+        xs["aux"] = per_step_aux
     batch = latents.shape[0]
 
     def step(x, c):
         t_batch = jnp.full((batch,), c["t"], dtype=jnp.float32)
-        eps = eps_fn(x, t_batch)
+        eps = (eps_fn(x, t_batch) if per_step_aux is None
+               else eps_fn(x, t_batch, c["aux"]))
         x0 = _x0_from_eps(x, eps, c["alpha_t"])
         if clip_sample:
             x0 = jnp.clip(x0, -clip_sample_range, clip_sample_range)
@@ -108,6 +117,7 @@ def sample_ddim_cached(
     clip_sample: bool = False,
     clip_sample_range: float = 1.0,
     steps_offset: int = 0,
+    per_step_aux=None,
 ) -> jax.Array:
     """DDIM (eta=0) with encoder-propagation caching.
 
@@ -122,6 +132,8 @@ def sample_ddim_cached(
     Args:
       encode_fn(x, t_batch) -> cache pytree ({"x", "skips"}).
       decode_fn(cache, t_batch) -> predicted epsilon.
+      per_step_aux: optional pytree (leading axis num_inference_steps),
+        scan-sliced and passed as a third argument to both fns.
     """
     acp = np.asarray(schedule.alphas_cumprod)
     ts = ddim_timesteps(schedule.num_train_timesteps, num_inference_steps,
@@ -138,20 +150,29 @@ def sample_ddim_cached(
         "alpha_prev": jnp.asarray(alpha_prev, dtype=jnp.float32),
         "refresh": jnp.asarray(refresh),
     }
+    if per_step_aux is not None:
+        xs["aux"] = per_step_aux
     batch = latents.shape[0]
 
     t0 = jnp.full((batch,), float(ts[0]), dtype=jnp.float32)
-    cache0 = encode_fn(latents, t0)
+    if per_step_aux is None:
+        cache0 = encode_fn(latents, t0)
+    else:
+        aux0 = jax.tree_util.tree_map(lambda a: a[0], per_step_aux)
+        cache0 = encode_fn(latents, t0, aux0)
 
     def step(carry, c):
         x, cache = carry
         t_batch = jnp.full((batch,), c["t"], dtype=jnp.float32)
+        enc_args = ((x, t_batch) if per_step_aux is None
+                    else (x, t_batch, c["aux"]))
         cache = jax.lax.cond(
             c["refresh"],
             lambda operand: encode_fn(*operand),
             lambda operand: cache,
-            (x, t_batch))
-        eps = decode_fn(cache, t_batch)
+            enc_args)
+        eps = (decode_fn(cache, t_batch) if per_step_aux is None
+               else decode_fn(cache, t_batch, c["aux"]))
         x0 = _x0_from_eps(x, eps, c["alpha_t"])
         if clip_sample:
             x0 = jnp.clip(x0, -clip_sample_range, clip_sample_range)

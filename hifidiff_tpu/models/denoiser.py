@@ -76,26 +76,30 @@ class _UNetCore(nn.Module):
             return nn.remat(ConditionalNAFBlock)
         return ConditionalNAFBlock
 
-    def encode(self, x, t):
+    def encode(self, x, t, films=None):
         time_dim = self.width * 4
         skips = []
         ch = self.width
+        k = 0
         for i, n in enumerate(self.enc_nums):
             for b in range(n):
                 x = self._blk(ch, time_dim, w8a8=self._w8a8,
                               dtype=self.dtype,
-                              name=f"enc{i}_blk{b}")(x, t)
+                              name=f"enc{i}_blk{b}")(
+                    x, t, film=None if films is None else films[k])
+                k += 1
             skips.append(x)  # pre-downsample skip (reference convention)
             x = TorchConv(ch * 2, (2, 2), strides=(2, 2), dtype=self.dtype,
                           name=f"down{i}")(x)
             ch *= 2
         return x, skips, ch
 
-    def middle(self, x, t, ch):
+    def middle(self, x, t, ch, films=None):
         time_dim = self.width * 4
         for b in range(self.mid_num):
             x = self._blk(ch, time_dim, w8a8=self._w8a8, dtype=self.dtype,
-                          name=f"mid_blk{b}")(x, t)
+                          name=f"mid_blk{b}")(
+                x, t, film=None if films is None else films[b])
         return x
 
     def up(self, x, ch, i):
@@ -103,15 +107,45 @@ class _UNetCore(nn.Module):
                       dtype=self.dtype, name=f"up{i}")(x)
         return pixel_shuffle(x, 2)
 
-    def decode_stage(self, x, t, skip, ch, i):
+    def decode_stage(self, x, t, skip, ch, i, films=None, film_base=0):
         time_dim = self.width * 4
         x = self.up(x, ch, i)
         ch //= 2
         x = x + skip
         for b in range(self.dec_nums[i]):
             x = self._blk(ch, time_dim, w8a8=self._w8a8, dtype=self.dtype,
-                          name=f"dec{i}_blk{b}")(x, t)
+                          name=f"dec{i}_blk{b}")(
+                x, t, film=None if films is None else films[film_base + b])
         return x, ch
+
+    def compute_films(self, t):
+        """FiLM tables for every ConditionalNAFBlock, from an embedded time
+        `t` (B, time_dim). Touches ONLY the per-block time_proj params —
+        the sampler calls this once for all 50 static DDIM timesteps
+        (B=num_steps) and feeds the slices through `lax.scan` xs, removing
+        time-conditioning weights from the per-step HBM streaming
+        (reference recomputes them inside every step,
+        `models/denoiser/conditional_naf.py:103-106`)."""
+        time_dim = self.width * 4
+        enc, mid, dec = [], [], []
+        ch = self.width
+        for i, n in enumerate(self.enc_nums):
+            for b in range(n):
+                enc.append(self._blk(ch, time_dim, w8a8=self._w8a8,
+                                     dtype=self.dtype,
+                                     name=f"enc{i}_blk{b}")(None, t))
+            ch *= 2
+        for b in range(self.mid_num):
+            mid.append(self._blk(ch, time_dim, w8a8=self._w8a8,
+                                 dtype=self.dtype,
+                                 name=f"mid_blk{b}")(None, t))
+        for i in range(len(self.dec_nums)):
+            ch //= 2
+            for b in range(self.dec_nums[i]):
+                dec.append(self._blk(ch, time_dim, w8a8=self._w8a8,
+                                     dtype=self.dtype,
+                                     name=f"dec{i}_blk{b}")(None, t))
+        return {"enc": tuple(enc), "mid": tuple(mid), "dec": tuple(dec)}
 
 
 class Denoiser(_UNetCore):
@@ -127,16 +161,35 @@ class Denoiser(_UNetCore):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, latents, timesteps):
-        """latents: (B, h, w, 4); timesteps: (B,) float -> (B, h, w, 4)."""
+    def __call__(self, latents, timesteps, films=None, mode: str = "full"):
+        """latents: (B, h, w, 4); timesteps: (B,) float -> (B, h, w, 4).
+
+        mode="films": return `compute_films(TimeMLP(timesteps))` only (the
+        sampler precomputes all 50 steps' FiLM tables outside the scan).
+        `films`: precomputed {"enc","mid","dec"} tuples — skips TimeMLP and
+        every per-block time_proj.
+        """
+        if mode == "films":
+            t = TimeMLP(self.width, dtype=self.dtype,
+                        name="time_mlp")(timesteps)
+            return self.compute_films(t)
+        t = (None if films is not None else
+             TimeMLP(self.width, dtype=self.dtype, name="time_mlp")(
+                 timesteps))
         h, w = latents.shape[1], latents.shape[2]
-        t = TimeMLP(self.width, dtype=self.dtype, name="time_mlp")(timesteps)
         x = TorchConv(self.width, (3, 3), padding=1, dtype=self.dtype,
                       name="intro")(latents)
-        x, skips, ch = self.encode(x, t)
-        x = self.middle(x, t, ch)
+        x, skips, ch = self.encode(
+            x, t, films=None if films is None else films["enc"])
+        x = self.middle(x, t, ch,
+                        films=None if films is None else films["mid"])
+        base = 0
         for i in range(len(self.dec_nums)):
-            x, ch = self.decode_stage(x, t, skips[-1 - i], ch, i)
+            x, ch = self.decode_stage(
+                x, t, skips[-1 - i], ch, i,
+                films=None if films is None else films["dec"],
+                film_base=base)
+            base += self.dec_nums[i]
         x = TorchConv(self.in_channels, (3, 3), padding=1, dtype=self.dtype,
                       name="ending")(x)
         return x[:, :h, :w, :]
@@ -157,7 +210,8 @@ class FusedDenoiser(_UNetCore):
 
     @nn.compact
     def __call__(self, latents, timesteps, facial_priors, identity_embedding,
-                 train: bool = False, mode: str = "full", cache=None):
+                 train: bool = False, mode: str = "full", cache=None,
+                 films=None, idc_pre=None, hca_gates=None):
         """
         Args:
           latents: (B, h, w, 4) noisy latents.
@@ -171,30 +225,69 @@ class FusedDenoiser(_UNetCore):
             "encode" returns the conditioned bottleneck + skips,
             "decode" consumes such a `cache` with a FRESH time embedding
             and runs only the decoder half.
+            "precompute": scan-invariant hoisting for the DDIM sampler —
+            everything that does not depend on the evolving latent x_t is
+            computed ONCE here: the FiLM tables for all given timesteps
+            (pass the 50 static DDIM t's as `timesteps`, batch axis =
+            steps), the IDC bottleneck injection (a pure function of
+            `identity_embedding`), and the 5 HCA channel/spatial gates
+            (pure functions of `facial_priors` in eval mode). The reference
+            recomputes ALL of this inside every one of the 50 steps
+            (`test_refiner.py:87-91` via `models/refiner.py:32-38`).
           cache: {"x": bottleneck, "skips": tuple} for mode="decode".
+          films / idc_pre / hca_gates: outputs of mode="precompute", fed
+            back per step (films sliced per step by the scan).
         """
+        if mode == "precompute":
+            t = TimeMLP(self.width, dtype=self.dtype,
+                        name="time_mlp")(timesteps)
+            films_all = self.compute_films(t)
+            ch = self.width * 2 ** len(self.enc_nums)
+            bh = bw = self.latent_size // 2 ** len(self.enc_nums)
+            b = identity_embedding.shape[0]
+            idc = TorchDense(ch * bh * bw, w8a8=self.w8a8, dtype=self.dtype,
+                             name="idc_proj")(identity_embedding)
+            idc = idc.reshape(b, ch, bh, bw).transpose(0, 2, 3, 1)
+            gates = []
+            dims = [ch] + [ch // 2 ** (i + 1)
+                           for i in range(len(self.dec_nums))]
+            for i, dim in enumerate(dims):
+                gates.append(HybridCrossAttention(
+                    dim, w8a8=self.w8a8, dtype=self.dtype,
+                    name=f"hca{i}")(facial_priors[i], None, train=False))
+            return {"films": films_all, "idc": idc, "gates": tuple(gates)}
+
         h, w = latents.shape[1], latents.shape[2]
         b = latents.shape[0]
-        t = TimeMLP(self.width, dtype=self.dtype, name="time_mlp")(timesteps)
+        t = (None if films is not None else
+             TimeMLP(self.width, dtype=self.dtype, name="time_mlp")(
+                 timesteps))
 
         if mode in ("full", "encode"):
             x = TorchConv(self.width, (3, 3), padding=1, dtype=self.dtype,
                           name="intro")(latents)
-            x, skips, ch = self.encode(x, t)
-            x = self.middle(x, t, ch)
+            x, skips, ch = self.encode(
+                x, t, films=None if films is None else films["enc"])
+            x = self.middle(x, t, ch,
+                            films=None if films is None else films["mid"])
 
             # identity injection at the bottleneck: Dense(2048 -> ch*bh*bw),
             # reshaped channel-major like the reference's NCHW view
             # (:245-246).
-            bh, bw = x.shape[1], x.shape[2]
-            idc = TorchDense(ch * bh * bw, w8a8=self.w8a8, dtype=self.dtype,
-                             name="idc_proj")(identity_embedding)
-            idc = idc.reshape(b, ch, bh, bw).transpose(0, 2, 3, 1)
+            if idc_pre is None:
+                bh, bw = x.shape[1], x.shape[2]
+                idc = TorchDense(ch * bh * bw, w8a8=self.w8a8,
+                                 dtype=self.dtype,
+                                 name="idc_proj")(identity_embedding)
+                idc = idc.reshape(b, ch, bh, bw).transpose(0, 2, 3, 1)
+            else:
+                idc = idc_pre
             x = x + idc
 
             x = HybridCrossAttention(ch, w8a8=self.w8a8, dtype=self.dtype,
-                                     name="hca0")(facial_priors[0], x,
-                                                  train=train)
+                                     name="hca0")(
+                facial_priors[0], x, train=train,
+                gates=None if hca_gates is None else hca_gates[0])
             if mode == "encode":
                 return {"x": x, "skips": tuple(skips)}
         else:
@@ -203,11 +296,17 @@ class FusedDenoiser(_UNetCore):
             skips = list(cache["skips"])
             ch = self.width * 2 ** len(self.enc_nums)
 
+        base = 0
         for i in range(len(self.dec_nums)):
-            x, ch = self.decode_stage(x, t, skips[-1 - i], ch, i)
+            x, ch = self.decode_stage(
+                x, t, skips[-1 - i], ch, i,
+                films=None if films is None else films["dec"],
+                film_base=base)
+            base += self.dec_nums[i]
             x = HybridCrossAttention(ch, w8a8=self.w8a8, dtype=self.dtype,
                                      name=f"hca{i + 1}")(
-                facial_priors[i + 1], x, train=train)
+                facial_priors[i + 1], x, train=train,
+                gates=None if hca_gates is None else hca_gates[i + 1])
 
         x = TorchConv(self.in_channels, (3, 3), padding=1, dtype=self.dtype,
                       name="ending")(x)

@@ -31,29 +31,40 @@ class HybridCrossAttention(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, f_g, f_d, train: bool = False):
+    def __call__(self, f_g, f_d=None, train: bool = False, gates=None):
+        """Gate hoisting (inference): both the channel weight `w_c` and the
+        spatial map `w_s` depend only on the guidance features `f_g`, which
+        are scan constants in the DDIM loop (computed once from the CR
+        latent). Call with `f_d=None` to get `(w_c, w_s)` — the sampler
+        computes them OUTSIDE the `lax.scan` — and pass them back via
+        `gates=` to skip both branches per step. Identical math."""
         dim = self.dim
         norm = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name,
         )
 
-        # channel branch
-        pooled = (jnp.mean(f_g, axis=(1, 2)) + jnp.max(f_g, axis=(1, 2)))
-        w_c = TorchDense(dim, w8a8=self.w8a8, dtype=self.dtype,
-                         name="ch_fc1")(pooled)
-        w_c = nn.relu(w_c)
-        w_c = TorchDense(dim, w8a8=self.w8a8, dtype=self.dtype,
-                         name="ch_fc2")(w_c)
-        w_c = nn.sigmoid(w_c)[:, None, None, :]
+        if gates is None:
+            # channel branch
+            pooled = (jnp.mean(f_g, axis=(1, 2)) + jnp.max(f_g, axis=(1, 2)))
+            w_c = TorchDense(dim, w8a8=self.w8a8, dtype=self.dtype,
+                             name="ch_fc1")(pooled)
+            w_c = nn.relu(w_c)
+            w_c = TorchDense(dim, w8a8=self.w8a8, dtype=self.dtype,
+                             name="ch_fc2")(w_c)
+            w_c = nn.sigmoid(w_c)[:, None, None, :]
 
-        # spatial branch
-        w_s = TorchConv(dim // 2, (1, 1), w8a8=self.w8a8, dtype=self.dtype,
-                        name="sp_conv1")(f_g)
-        w_s = nn.relu(norm("sp_bn1")(w_s))
-        w_s = TorchConv(1, (1, 1), w8a8=self.w8a8, dtype=self.dtype,
-                        name="sp_conv2")(w_s)
-        w_s = nn.sigmoid(norm("sp_bn2")(w_s))
+            # spatial branch
+            w_s = TorchConv(dim // 2, (1, 1), w8a8=self.w8a8,
+                            dtype=self.dtype, name="sp_conv1")(f_g)
+            w_s = nn.relu(norm("sp_bn1")(w_s))
+            w_s = TorchConv(1, (1, 1), w8a8=self.w8a8, dtype=self.dtype,
+                            name="sp_conv2")(w_s)
+            w_s = nn.sigmoid(norm("sp_bn2")(w_s))
+        else:
+            w_c, w_s = gates
+        if f_d is None:
+            return (w_c, w_s)
 
         f_o = f_d + w_c * f_d + w_s * f_d
         f_o = TorchConv(dim, (3, 3), padding=1, w8a8=self.w8a8,

@@ -86,14 +86,29 @@ class ConditionalNAFBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, t):
-        """x: (N, H, W, c); t: (N, time_dim) time embedding."""
+    def __call__(self, x, t=None, film=None):
+        """x: (N, H, W, c); t: (N, time_dim) time embedding.
+
+        FiLM hoisting (inference): the (shift/scale) table depends only on
+        `t`, and every DDIM step's `t` is static — so the sampler precomputes
+        `film` for all steps OUTSIDE the `lax.scan` and passes it in here,
+        removing the time_proj weights (~64M params across the UNet) from
+        the per-step HBM weight streaming. Call with `x=None` to get just
+        the film vector (touches only the time_proj params); call with
+        `film=` to skip the projection. `film` may have batch 1 (shared
+        across the sample batch) — it is broadcast.
+        """
         c = self.c
         dw = c * self.dw_expand
         ffn = c * self.ffn_expand
 
-        film = TorchDense(4 * c, w8a8=self.w8a8, dtype=self.dtype,
-                          name="time_proj")(simple_gate(t))
+        if film is None:
+            film = TorchDense(4 * c, w8a8=self.w8a8, dtype=self.dtype,
+                              name="time_proj")(simple_gate(t))
+        if x is None:
+            return film
+        if film.shape[0] != x.shape[0]:
+            film = jnp.broadcast_to(film, (x.shape[0], film.shape[-1]))
         shift_att, scale_att, shift_ffn, scale_ffn = jnp.split(film, 4,
                                                                axis=-1)
 

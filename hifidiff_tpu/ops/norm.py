@@ -84,12 +84,16 @@ def ln_film(x: jax.Array, weight: jax.Array, bias: jax.Array,
     if _pallas_eligible(x):
         from hifidiff_tpu.ops.pallas.ln_film import ln_film_pallas
 
-        out = ln_film_pallas(x.astype(jnp.float32),
-                             weight.astype(jnp.float32),
-                             bias.astype(jnp.float32),
-                             scale.astype(jnp.float32),
-                             shift.astype(jnp.float32), eps)
-        return out.astype(x.dtype)
+        # pass x in its native dtype (bf16 stays bf16 through HBM — the
+        # kernel upcasts per-tile in VMEM); an f32 cast here would
+        # materialize an f32 copy of every activation through HBM and
+        # spend the fusion's bandwidth win. The (C,)/(B,C) affine+FiLM
+        # tables stay f32: they're tiny, and Mosaic's dynamic row indexing
+        # of a bf16 VMEM buffer needs sublane-16 alignment it can't prove.
+        return ln_film_pallas(x, weight.astype(jnp.float32),
+                              bias.astype(jnp.float32),
+                              scale.astype(jnp.float32),
+                              shift.astype(jnp.float32), eps)
     out = _layer_norm_2d(x.astype(jnp.float32), weight.astype(jnp.float32),
                          bias.astype(jnp.float32), eps)
     out = (out * (1.0 + scale[:, None, None, :].astype(jnp.float32))

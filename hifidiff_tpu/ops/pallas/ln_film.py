@@ -171,8 +171,10 @@ def _ln_film_bwd(eps, res, g):
         interpret=_interpret(),
     )(x3, g3, w, b, scale)
 
-    return (dx.reshape(x.shape), jnp.sum(dw_p, axis=0),
-            jnp.sum(db_p, axis=0), ds_p, dt_p)
+    # cotangent dtypes must match the primals' (params may be bf16-cast)
+    return (dx.reshape(x.shape), jnp.sum(dw_p, axis=0).astype(w.dtype),
+            jnp.sum(db_p, axis=0).astype(b.dtype),
+            ds_p.astype(scale.dtype), dt_p.astype(scale.dtype))
 
 
 ln_film_pallas.defvjp(_ln_film_fwd, _ln_film_bwd)

@@ -50,6 +50,39 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def local_shard(x) -> np.ndarray:
+    """Host-local view of a (possibly multi-process global) jax.Array —
+    for image dumps / logging on process 0. Single-process: the full
+    array. Multi-process: the rows this process owns, concatenated."""
+    x = jax.numpy.asarray(x) if not isinstance(x, jax.Array) else x
+    if jax.process_count() == 1 or x.is_fully_addressable:
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards, key=lambda s: s.index[0].start
+                    if s.index and s.index[0].start else 0)
+    seen, parts = set(), []
+    for s in shards:
+        k = tuple((sl.start, sl.stop) for sl in s.index if sl.start
+                  is not None) or ("rep",)
+        if k in seen:
+            continue
+        seen.add(k)
+        parts.append(np.asarray(s.data))
+    return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def replicate_global(tree, mesh: Mesh):
+    """Replicate a host-local pytree (params/opt-state) onto every device
+    of a possibly multi-process mesh. All processes must hold identical
+    values (same-seed init or a restored checkpoint — both deterministic
+    here). Single-process reduces to a plain replicated device_put."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, replicated(mesh))
+    s = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            s, np.asarray(x)), tree)
+
+
 def device_prefetch(iterator, mesh: Mesh, depth: int = 2):
     """Wrap a host batch iterator so the next `depth` batches are already
     device_put (sharded over "data") while the current one trains — hides
@@ -73,12 +106,25 @@ def device_prefetch(iterator, mesh: Mesh, depth: int = 2):
 def shard_batch(tree, mesh: Mesh):
     """Device-put every leaf with its leading axis split over "data".
 
-    A leaf whose leading dim is not divisible by the data-axis size (e.g. a
-    ragged final eval batch) is replicated instead — correctness first; pad
-    to a multiple of the mesh for full throughput."""
+    Single-process: a leaf whose leading dim is not divisible by the
+    data-axis size (e.g. a ragged final eval batch) is replicated instead —
+    correctness first; pad to a multiple of the mesh for full throughput.
+
+    Multi-process (jax.process_count() > 1): each process passes its LOCAL
+    shard (from a `Loader(shard_index=..., num_shards=...)`) and the global
+    batch-sharded array is assembled via
+    `jax.make_array_from_process_local_data`. Local batches must divide the
+    process's local data-axis extent (use drop_last=True / per-shard
+    padding — the Loader's shard logic guarantees equal batch counts)."""
     n_data = mesh.shape["data"]
+    multiprocess = jax.process_count() > 1
 
     def put(x):
+        if multiprocess:
+            sharding = NamedSharding(
+                mesh, P("data", *([None] * (np.ndim(x) - 1))))
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
         if np.ndim(x) >= 1 and np.shape(x)[0] % n_data == 0:
             return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
         return jax.device_put(x, replicated(mesh))

@@ -16,7 +16,7 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from hifidiff_tpu.diffusion.sampling import sample_ddim
+from hifidiff_tpu.diffusion.sampling import ddim_timesteps, sample_ddim
 from hifidiff_tpu.diffusion.schedule import DiffusionSchedule
 from hifidiff_tpu.models import (
     CoarseRestoration,
@@ -24,6 +24,24 @@ from hifidiff_tpu.models import (
     FacialRefiner,
 )
 from hifidiff_tpu.vae.model import AutoencoderKL, SD_VAE_SCALING
+
+
+def _precompute_invariants(refiner, refiner_vars, priors, id_emb, schedule,
+                           config):
+    """Run FusedDenoiser mode="precompute" for the sampler's static
+    timestep sequence: FiLM tables (leading axis = steps, batch 1 — shared
+    across the sample batch), IDC bottleneck injection, HCA gates."""
+    ts = ddim_timesteps(schedule.num_train_timesteps,
+                        config.num_inference_steps)
+    return refiner.apply(
+        refiner_vars, jnp.asarray(ts, jnp.float32), priors, id_emb,
+        method=lambda m, t, p, e: m.denoiser(None, t, p, e,
+                                             mode="precompute"))
+
+
+def _films_slice(film_slice):
+    """Per-step scan slice (4c,) leaves -> (1, 4c) batch-1 FiLM vectors."""
+    return jax.tree_util.tree_map(lambda a: a[None], film_slice)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,6 +61,11 @@ class RefinerPipelineConfig:
     latent_channels: int = 4
     scaling: float = SD_VAE_SCALING
     sample_posterior: bool = True      # VAE encode samples vs mean
+    hoist_invariants: bool = True      # precompute everything t-/x-invariant
+    # OUTSIDE the lax.scan: FiLM tables for all 50 static DDIM timesteps,
+    # the IDC bottleneck injection, and the 5 HCA gate branches — identical
+    # math, removes their weights from per-step HBM streaming (the
+    # reference recomputes all of it in every step, test_refiner.py:87-91)
 
 
 def build_refiner_sampler(
@@ -91,18 +114,34 @@ def build_refiner_sampler(
         id_emb = refiner.apply(refiner_vars, cr_face,
                                method=lambda m, f: m.idc(f, train=False))
 
-        def eps_fn(x, t):
-            return refiner.apply(
-                refiner_vars, x, t, priors, id_emb,
-                method=lambda m, x, t, p, e: m.denoiser(
-                    x, t, p, e, train=False))
+        if config.hoist_invariants:
+            pre = _precompute_invariants(refiner, refiner_vars, priors,
+                                         id_emb, schedule, config)
+
+            def eps_fn(x, t, film_slice):
+                return refiner.apply(
+                    refiner_vars, x, t, priors, id_emb,
+                    method=lambda m, x, t, p, e: m.denoiser(
+                        x, t, p, e, train=False,
+                        films=_films_slice(film_slice),
+                        idc_pre=pre["idc"], hca_gates=pre["gates"]))
+
+            per_step_aux = pre["films"]
+        else:
+            def eps_fn(x, t):
+                return refiner.apply(
+                    refiner_vars, x, t, priors, id_emb,
+                    method=lambda m, x, t, p, e: m.denoiser(
+                        x, t, p, e, train=False))
+
+            per_step_aux = None
 
         final = sample_ddim(
             eps_fn, latents, schedule,
             num_inference_steps=config.num_inference_steps,
             eta=config.eta, clip_sample=config.clip_sample,
             clip_sample_range=config.clip_sample_range,
-            unroll=config.unroll)
+            unroll=config.unroll, per_step_aux=per_step_aux)
 
         img = vae.apply({"params": variables["vae"]},
                         final / config.scaling, method=vae.decode)
@@ -156,41 +195,54 @@ def build_refiner_sampler_split(
 
     @jax.jit
     def stage_scan(refiner_vars, latents, priors, id_emb):
+        if config.hoist_invariants:
+            pre = _precompute_invariants(refiner, refiner_vars, priors,
+                                         id_emb, schedule, config)
+            per_step_aux = pre["films"]
+            extra = {"idc_pre": pre["idc"], "hca_gates": pre["gates"]}
+        else:
+            per_step_aux, extra = None, {}
+
+        def _apply(x, t, film_slice, **kw):
+            kwargs = dict(extra, **kw)
+            if film_slice is not None:
+                kwargs["films"] = _films_slice(film_slice)
+            return refiner.apply(
+                refiner_vars, x, t, priors, id_emb,
+                method=lambda m, x, t, p, e: m.denoiser(
+                    x, t, p, e, train=False, **kwargs))
+
         if config.cache_interval > 1:
             from hifidiff_tpu.diffusion.sampling import sample_ddim_cached
 
-            def encode_fn(x, t):
-                return refiner.apply(
-                    refiner_vars, x, t, priors, id_emb,
-                    method=lambda m, x, t, p, e: m.denoiser(
-                        x, t, p, e, train=False, mode="encode"))
-
-            def decode_fn(cache, t):
-                return refiner.apply(
-                    refiner_vars, latents, t, priors, id_emb,
-                    method=lambda m, x, t, p, e: m.denoiser(
-                        x, t, p, e, train=False, mode="decode",
-                        cache=cache))
+            if per_step_aux is None:
+                encode_fn = lambda x, t: _apply(x, t, None, mode="encode")  # noqa: E731,E501
+                decode_fn = lambda cache, t: _apply(                        # noqa: E731,E501
+                    latents, t, None, mode="decode", cache=cache)
+            else:
+                encode_fn = lambda x, t, f: _apply(x, t, f, mode="encode")  # noqa: E731,E501
+                decode_fn = lambda cache, t, f: _apply(                     # noqa: E731,E501
+                    latents, t, f, mode="decode", cache=cache)
 
             return sample_ddim_cached(
                 encode_fn, decode_fn, latents, schedule,
                 num_inference_steps=config.num_inference_steps,
                 cache_interval=config.cache_interval,
                 clip_sample=config.clip_sample,
-                clip_sample_range=config.clip_sample_range)
+                clip_sample_range=config.clip_sample_range,
+                per_step_aux=per_step_aux)
 
-        def eps_fn(x, t):
-            return refiner.apply(
-                refiner_vars, x, t, priors, id_emb,
-                method=lambda m, x, t, p, e: m.denoiser(
-                    x, t, p, e, train=False))
+        if per_step_aux is None:
+            eps_fn = lambda x, t: _apply(x, t, None)  # noqa: E731
+        else:
+            eps_fn = lambda x, t, f: _apply(x, t, f)  # noqa: E731
 
         return sample_ddim(
             eps_fn, latents, schedule,
             num_inference_steps=config.num_inference_steps,
             eta=config.eta, clip_sample=config.clip_sample,
             clip_sample_range=config.clip_sample_range,
-            unroll=config.unroll)
+            unroll=config.unroll, per_step_aux=per_step_aux)
 
     @jax.jit
     def stage_decode(vae_params, latents):
@@ -209,6 +261,9 @@ def build_refiner_sampler_split(
         final = stage_scan(rvars, latents, priors, id_emb)
         return stage_decode(variables["vae"], final)
 
+    # exposed for per-stage benchmarking (bench.py --stage-times)
+    sample.stages = {"prep": stage_prep, "scan": stage_scan,
+                     "decode": stage_decode}
     return sample
 
 

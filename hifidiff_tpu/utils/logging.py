@@ -20,7 +20,25 @@ import numpy as np
 
 class MetricsLogger:
     def __init__(self, log_dir: str, project: str, run_name: str = "run",
-                 use_wandb: bool = False, stdout_every: int = 50):
+                 use_wandb: bool = False, stdout_every: int = 50,
+                 main_only: bool = True):
+        """main_only: in multi-process runs, only process 0 writes
+        (JSONL/stdout/wandb) — the reference's `accelerator.is_main_process`
+        gating (`pretrain_denoiser.py:112-120`). Other processes become
+        no-op loggers."""
+        self.enabled = True
+        if main_only:
+            try:
+                import jax
+
+                self.enabled = jax.process_index() == 0
+            except Exception:  # noqa: BLE001 — no jax -> single process
+                pass
+        if not self.enabled:
+            self._f = None
+            self._wandb = None
+            self.stdout_every = 0
+            return
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"{project}.{run_name}.jsonl")
@@ -37,6 +55,8 @@ class MetricsLogger:
                 print("[logger] wandb not installed; JSONL/stdout only")
 
     def log(self, metrics: Dict, step: int) -> None:
+        if not self.enabled:
+            return
         rec = {"step": step, "time": time.time(),
                **{k: float(v) for k, v in metrics.items()}}
         self._f.write(json.dumps(rec) + "\n")
@@ -48,7 +68,8 @@ class MetricsLogger:
             print(f"[step {step}] {msg}", flush=True)
 
     def close(self):
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
         if self._wandb is not None:
             self._wandb.finish()
 

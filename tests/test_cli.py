@@ -5,6 +5,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 from hifidiff_tpu.cli.common import (
     SyntheticFaceDataset,
@@ -49,6 +50,7 @@ class TestCommon:
         np.testing.assert_allclose(c[3]["image"], b[0]["image"])
 
 
+@pytest.mark.slow
 class TestTrainCRSmoke:
     def test_one_epoch_synthetic(self, tmp_path):
         from hifidiff_tpu.cli import train_cr
@@ -64,6 +66,7 @@ class TestTrainCRSmoke:
         assert os.path.isdir(tmp_path / "ckpt" / "temp")
 
 
+@pytest.mark.slow
 class TestPretrainDenoiserSmoke:
     def test_one_epoch_synthetic(self, tmp_path):
         from hifidiff_tpu.cli import pretrain_denoiser
@@ -80,6 +83,7 @@ class TestPretrainDenoiserSmoke:
         assert os.path.exists(tmp_path / "out" / "temp" / "0.png")
 
 
+@pytest.mark.slow
 class TestPretrainIDCSmoke:
     def test_one_epoch_synthetic(self, tmp_path):
         from hifidiff_tpu.cli import pretrain_idc
@@ -93,6 +97,7 @@ class TestPretrainIDCSmoke:
         assert os.path.isdir(tmp_path / "ckpt" / "temp")
 
 
+@pytest.mark.slow
 class TestTestIDCSmoke:
     def test_synthetic_eval(self, capsys):
         from hifidiff_tpu.cli import test_idc
@@ -107,6 +112,7 @@ class TestTestIDCSmoke:
         assert "test accuracy (per-sample)" in out
 
 
+@pytest.mark.slow
 class TestTestRefinerSmoke:
     def test_synthetic_eval(self, tmp_path, capsys):
         from hifidiff_tpu.cli import test_refiner
@@ -124,6 +130,7 @@ class TestTestRefinerSmoke:
         assert "PSNR:" in out and "SSIM:" in out
 
 
+@pytest.mark.slow
 class TestTrainRefinerSmoke:
     def test_one_epoch_synthetic(self, tmp_path):
         import os
@@ -143,6 +150,7 @@ class TestTrainRefinerSmoke:
         assert os.path.isdir(tmp_path / "ckpt" / "temp")
 
 
+@pytest.mark.slow
 class TestInferCRSmoke:
     def test_single_image(self, tmp_path):
         from PIL import Image

@@ -87,3 +87,142 @@ class TestCheckpoint:
         np.testing.assert_allclose(out["b"]["c"], 1.0)
         np.testing.assert_allclose(out["b"]["d"], 0.0)  # kept from init
         assert "extra" not in out
+
+
+class TestLPIPS:
+    """Formula parity vs a torch oracle transcribing the official lpips
+    computation (github.com/richzhang/PerceptualSimilarity), on synthetic
+    weights — real pretrained weights can't be fetched in-env. pyiqa's
+    `lpips` default backbone is AlexNet (reference `test_refiner.py:107-109`
+    reports that variant), so the alex path is the comparable one."""
+
+    def _torch_lpips(self, feats_fn, lins, x, y):
+        import torch
+
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+        def prep(img):
+            return (img * 2.0 - 1.0 - shift) / scale
+
+        fx, fy = feats_fn(prep(x)), feats_fn(prep(y))
+        total = 0.0
+        for tx, ty, w in zip(fx, fy, lins):
+            nx = tx / tx.pow(2).sum(1, keepdim=True).sqrt().clamp_min(1e-10)
+            ny = ty / ty.pow(2).sum(1, keepdim=True).sqrt().clamp_min(1e-10)
+            d = (nx - ny).pow(2)
+            d = (d * torch.tensor(w).view(1, -1, 1, 1)).sum(1)
+            total = total + d.mean(dim=(1, 2))
+        return total
+
+    def test_alex_matches_torch_oracle(self):
+        import torch
+        import torch.nn as tnn
+
+        from hifidiff_tpu.eval.lpips import (
+            load_lpips_alex_params,
+            lpips_distance,
+        )
+
+        torch.manual_seed(0)
+        alex = tnn.Sequential(
+            tnn.Conv2d(3, 64, 11, 4, 2), tnn.ReLU(),
+            tnn.MaxPool2d(3, 2),
+            tnn.Conv2d(64, 192, 5, 1, 2), tnn.ReLU(),
+            tnn.MaxPool2d(3, 2),
+            tnn.Conv2d(192, 384, 3, 1, 1), tnn.ReLU(),
+            tnn.Conv2d(384, 256, 3, 1, 1), tnn.ReLU(),
+            tnn.Conv2d(256, 256, 3, 1, 1), tnn.ReLU(),
+        )
+        # torchvision state-dict key layout: features.{0,3,6,8,10}
+        sd = {}
+        conv_positions = {0: 0, 3: 3, 6: 6, 8: 8, 10: 10}
+        seq_convs = [m for m in alex if isinstance(m, tnn.Conv2d)]
+        for ti, conv in zip((0, 3, 6, 8, 10), seq_convs):
+            sd[f"features.{ti}.weight"] = conv.weight.detach().numpy()
+            sd[f"features.{ti}.bias"] = conv.bias.detach().numpy()
+        del conv_positions
+        lins = [np.abs(np.random.default_rng(i).normal(
+            size=(c,)).astype(np.float32))
+            for i, c in enumerate((64, 192, 384, 256, 256))]
+        lpips_sd = {f"lin{i}.model.1.weight": w.reshape(1, -1, 1, 1)
+                    for i, w in enumerate(lins)}
+
+        params, jlins = load_lpips_alex_params(sd, lpips_sd)
+
+        rng = np.random.default_rng(42)
+        x = rng.uniform(size=(2, 64, 64, 3)).astype(np.float32)
+        y = rng.uniform(size=(2, 64, 64, 3)).astype(np.float32)
+
+        ours = lpips_distance(params, jlins, jnp.asarray(x), jnp.asarray(y),
+                              net="alex")
+
+        def feats(img):
+            taps, h = [], img
+            with torch.no_grad():
+                for m in alex:
+                    h = m(h)
+                    if isinstance(m, tnn.ReLU):
+                        taps.append(h)
+            return taps
+
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        yt = torch.from_numpy(y).permute(0, 3, 1, 2)
+        golden = self._torch_lpips(feats, lins, xt, yt)
+        np.testing.assert_allclose(np.asarray(ours), golden.numpy(),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_vgg16_matches_torch_oracle(self):
+        import torch
+        import torch.nn as tnn
+
+        from hifidiff_tpu.eval.lpips import load_lpips_params, lpips_distance
+
+        torch.manual_seed(1)
+        cfg = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
+        layers, sd, ti = [], {}, 0
+        in_ch = 3
+        for ch, n in cfg:
+            for _ in range(n):
+                conv = tnn.Conv2d(in_ch, ch, 3, 1, 1)
+                layers += [conv, tnn.ReLU()]
+                sd[f"features.{ti}.weight"] = conv.weight.detach().numpy()
+                sd[f"features.{ti}.bias"] = conv.bias.detach().numpy()
+                ti += 2
+                in_ch = ch
+            layers.append(tnn.MaxPool2d(2, 2))
+            ti += 1
+        vgg = tnn.Sequential(*layers)
+        chans = (64, 128, 256, 512, 512)
+        lins = [np.abs(np.random.default_rng(10 + i).normal(
+            size=(c,)).astype(np.float32)) for i, c in enumerate(chans)]
+        lpips_sd = {f"lin{i}.model.1.weight": w.reshape(1, -1, 1, 1)
+                    for i, w in enumerate(lins)}
+        params, jlins = load_lpips_params(sd, lpips_sd)
+
+        rng = np.random.default_rng(7)
+        x = rng.uniform(size=(1, 32, 32, 3)).astype(np.float32)
+        y = rng.uniform(size=(1, 32, 32, 3)).astype(np.float32)
+        ours = lpips_distance(params, jlins, jnp.asarray(x), jnp.asarray(y))
+
+        def feats(img):
+            taps, h = [], img
+            stage_relu_count = {0: 2, 1: 2, 2: 3, 3: 3, 4: 3}
+            relu_seen, stage = 0, 0
+            with torch.no_grad():
+                for m in vgg:
+                    if isinstance(m, tnn.MaxPool2d) and stage == 4:
+                        break  # lpips taps before the final pool
+                    h = m(h)
+                    if isinstance(m, tnn.ReLU):
+                        relu_seen += 1
+                        if relu_seen == stage_relu_count[stage]:
+                            taps.append(h)
+                            relu_seen, stage = 0, stage + 1
+            return taps
+
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        yt = torch.from_numpy(y).permute(0, 3, 1, 2)
+        golden = self._torch_lpips(feats, lins, xt, yt)
+        np.testing.assert_allclose(np.asarray(ours), golden.numpy(),
+                                   rtol=2e-4, atol=2e-5)

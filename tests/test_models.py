@@ -149,6 +149,7 @@ class TestHCA:
         assert_close(out, ref)
 
 
+@pytest.mark.slow
 class TestCoarseRestoration:
     def test_full_parity(self):
         tm = TorchCR().eval()
@@ -160,6 +161,7 @@ class TestCoarseRestoration:
         assert_close(out, ref, atol=5e-4)
 
 
+@pytest.mark.slow
 class TestIDC:
     def test_full_parity(self):
         tm = TorchResNet50().eval()
@@ -382,3 +384,54 @@ class TestFullSizeParamCounts:
         tc = sum(p.numel() for p in TorchResNet50().parameters())
         jc = self._flax_count(IDCEncoder(), (1, 128, 128, 3))
         assert tc == jc
+
+
+@pytest.mark.slow
+class TestFullSizeFusedDenoiserParity:
+    """VERDICT round-1 item 3: the ACTUAL reference FusedDenoiser +
+    FacialPriorGuidance at full width 128 (~450M params, torch CPU, one
+    forward) vs ours with imported weights. Closes the parity hole left by
+    the width-16 mini oracles (`/root/reference/models/denoiser/
+    model.py:137-266`, `models/fpg/model.py:7-64`)."""
+
+    def test_full_size_forward_parity(self):
+        from models.denoiser.model import (
+            FusedDenoiser as TorchFusedDenoiser,
+        )
+        from models.fpg.model import (
+            FacialPriorGuidance as TorchFPG,
+        )
+
+        torch.manual_seed(7)
+        tm = TorchFusedDenoiser(latent_size=16).eval()
+        fpg_t = TorchFPG().eval()
+        with torch.no_grad():
+            for m in tm.modules():
+                if isinstance(m, tnn.BatchNorm2d):
+                    m.running_mean.normal_(0, 0.2)
+                    m.running_var.uniform_(0.5, 2.0)
+
+        b = 1
+        x = RNG.standard_normal((b, 16, 16, 4), dtype=np.float32)
+        lat = RNG.standard_normal((b, 16, 16, 4), dtype=np.float32)
+        emb = RNG.standard_normal((b, 2048), dtype=np.float32)
+        t = np.array([500.0] * b, dtype=np.float32)
+
+        with torch.no_grad():
+            priors_t = fpg_t(torch.tensor(nchw(lat)))
+            ref = tm(torch.tensor(nchw(x)), torch.tensor(t), priors_t,
+                     torch.tensor(emb).reshape(b, 2048, 1, 1))
+        ref = ref.sample if hasattr(ref, "sample") else ref
+
+        fpg_params = {"params": ti.fpg_params(sd_numpy(fpg_t),
+                                              enc_nums=(2, 2, 4, 8))}
+        priors = FacialPriorGuidance().apply(fpg_params, jnp.asarray(lat))
+        for pj, pt in zip(priors, priors_t):
+            assert_close(pj, pt, atol=2e-3)
+
+        p, s = ti.fused_denoiser_params(sd_numpy(tm))
+        out = FusedDenoiser().apply(
+            {"params": p, "batch_stats": s},
+            jnp.asarray(x), jnp.asarray(t), priors, jnp.asarray(emb),
+            train=False)
+        assert_close(out, ref, atol=5e-3)

@@ -56,6 +56,35 @@ class TestRefinerSampler:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
         assert float(a.min()) >= 0.0 and float(a.max()) <= 1.0
 
+    def test_hoisted_invariants_match_naive(self):
+        """FiLM/IDC/HCA-gate hoisting (mode="precompute") is pure code
+        motion: sampling with hoist_invariants=True must match the naive
+        per-step recomputation exactly (f32 CPU)."""
+        import dataclasses
+
+        refiner, cr, vae, variables, cfg, res = tiny_stack()
+        schedule = DiffusionSchedule.create()
+        key = jax.random.PRNGKey(11)
+        lr = jax.random.uniform(jax.random.PRNGKey(12), (2, res, res, 3))
+
+        hoisted = build_refiner_sampler_split(
+            refiner, cr, vae, schedule,
+            dataclasses.replace(cfg, hoist_invariants=True))
+        naive = build_refiner_sampler_split(
+            refiner, cr, vae, schedule,
+            dataclasses.replace(cfg, hoist_invariants=False))
+        a = hoisted(variables, lr, key)
+        b = naive(variables, lr, key)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+        # cached sampler path with hoisting enabled stays finite & close
+        cached = build_refiner_sampler_split(
+            refiner, cr, vae, schedule,
+            dataclasses.replace(cfg, num_inference_steps=6,
+                                cache_interval=2, hoist_invariants=True))
+        c = cached(variables, lr, key)
+        assert bool(jnp.isfinite(c).all())
+
     def test_cached_sampler_interval1_exact(self):
         """cache_interval=1 refreshes every step -> bitwise-equal to the
         plain sampler; interval=3 drifts but stays sane."""

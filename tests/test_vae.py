@@ -140,3 +140,181 @@ class TestAutoencoderShapes:
         z = vae.apply(variables, img, method=vae.encode, sample=True,
                       key=jax.random.PRNGKey(1))
         assert z.shape == (1, 8, 8, 4)
+
+
+class TestVAEEndToEndImport:
+    """Full-architecture oracle (VERDICT round-1 item 4): a functional
+    torch transcription of diffusers AutoencoderKL — asymmetric (0,1,0,1)
+    downsample pad, nearest+conv upsampler, mid attention, diffusers
+    state-dict key names — run on a synthetic checkpoint, imported via
+    `vae_params_from_torch`, and compared end-to-end at factor 8."""
+
+    BLOCKS = (32, 32, 64, 64)
+    LAYERS = 2
+    LATENT = 4
+
+    def _make_sd(self, seed=0):
+        import torch
+
+        g = torch.Generator().manual_seed(seed)
+        sd = {}
+
+        def conv(p, cin, cout, k=3):
+            sd[f"{p}.weight"] = torch.randn(cout, cin, k, k,
+                                            generator=g) * (0.3 / (cin * k))
+            sd[f"{p}.bias"] = torch.randn(cout, generator=g) * 0.05
+
+        def gn(p, c):
+            sd[f"{p}.weight"] = 1.0 + 0.1 * torch.randn(c, generator=g)
+            sd[f"{p}.bias"] = 0.05 * torch.randn(c, generator=g)
+
+        def lin(p, c):
+            sd[f"{p}.weight"] = torch.randn(c, c, generator=g) * (0.3 / c)
+            sd[f"{p}.bias"] = torch.randn(c, generator=g) * 0.05
+
+        def resnet(p, cin, cout):
+            gn(f"{p}.norm1", cin)
+            conv(f"{p}.conv1", cin, cout)
+            gn(f"{p}.norm2", cout)
+            conv(f"{p}.conv2", cout, cout)
+            if cin != cout:
+                conv(f"{p}.conv_shortcut", cin, cout, k=1)
+
+        def mid(p, c):
+            resnet(f"{p}.resnets.0", c, c)
+            resnet(f"{p}.resnets.1", c, c)
+            a = f"{p}.attentions.0"
+            gn(f"{a}.group_norm", c)
+            for proj in ("to_q", "to_k", "to_v", "to_out.0"):
+                lin(f"{a}.{proj}", c)
+
+        bo, L = self.BLOCKS, self.LAYERS
+        conv("encoder.conv_in", 3, bo[0])
+        ch = bo[0]
+        for i, c in enumerate(bo):
+            for j in range(L):
+                resnet(f"encoder.down_blocks.{i}.resnets.{j}",
+                       ch if j == 0 else c, c)
+            ch = c
+            if i < len(bo) - 1:
+                conv(f"encoder.down_blocks.{i}.downsamplers.0.conv", c, c)
+        mid("encoder.mid_block", bo[-1])
+        gn("encoder.conv_norm_out", bo[-1])
+        conv("encoder.conv_out", bo[-1], 2 * self.LATENT)
+        conv("quant_conv", 2 * self.LATENT, 2 * self.LATENT, k=1)
+        conv("post_quant_conv", self.LATENT, self.LATENT, k=1)
+
+        rev = list(reversed(bo))
+        conv("decoder.conv_in", self.LATENT, rev[0])
+        mid("decoder.mid_block", rev[0])
+        ch = rev[0]
+        for i, c in enumerate(rev):
+            for j in range(L + 1):
+                resnet(f"decoder.up_blocks.{i}.resnets.{j}",
+                       ch if j == 0 else c, c)
+            ch = c
+            if i < len(rev) - 1:
+                conv(f"decoder.up_blocks.{i}.upsamplers.0.conv", c, c)
+        gn("decoder.conv_norm_out", rev[-1])
+        conv("decoder.conv_out", rev[-1], 3)
+        return sd
+
+    def _torch_forward(self, sd, x):
+        """Functional transcription of diffusers AutoencoderKL semantics."""
+        import torch
+        import torch.nn.functional as F
+
+        def conv(x, p, stride=1, pad=1):
+            return F.conv2d(x, sd[f"{p}.weight"], sd[f"{p}.bias"],
+                            stride=stride, padding=pad)
+
+        def gn(x, p):
+            return F.group_norm(x, 32, sd[f"{p}.weight"], sd[f"{p}.bias"],
+                                eps=1e-6)
+
+        def resnet(x, p):
+            h = conv(F.silu(gn(x, f"{p}.norm1")), f"{p}.conv1")
+            h = conv(F.silu(gn(h, f"{p}.norm2")), f"{p}.conv2")
+            if f"{p}.conv_shortcut.weight" in sd:
+                x = conv(x, f"{p}.conv_shortcut", pad=0)
+            return x + h
+
+        def attn(x, p):
+            b, c, hh, ww = x.shape
+            res = x
+            h = gn(x, f"{p}.group_norm")
+            t = h.reshape(b, c, hh * ww).permute(0, 2, 1)
+            q = F.linear(t, sd[f"{p}.to_q.weight"], sd[f"{p}.to_q.bias"])
+            k = F.linear(t, sd[f"{p}.to_k.weight"], sd[f"{p}.to_k.bias"])
+            v = F.linear(t, sd[f"{p}.to_v.weight"], sd[f"{p}.to_v.bias"])
+            a = torch.softmax(q @ k.transpose(1, 2) * c ** -0.5, dim=-1)
+            o = F.linear(a @ v, sd[f"{p}.to_out.0.weight"],
+                         sd[f"{p}.to_out.0.bias"])
+            return res + o.permute(0, 2, 1).reshape(b, c, hh, ww)
+
+        def mid(x, p):
+            x = resnet(x, f"{p}.resnets.0")
+            x = attn(x, f"{p}.attentions.0")
+            return resnet(x, f"{p}.resnets.1")
+
+        bo, L = self.BLOCKS, self.LAYERS
+        with torch.no_grad():
+            h = conv(x, "encoder.conv_in")
+            for i in range(len(bo)):
+                for j in range(L):
+                    h = resnet(h, f"encoder.down_blocks.{i}.resnets.{j}")
+                if i < len(bo) - 1:
+                    h = F.pad(h, (0, 1, 0, 1))  # asymmetric (0,1,0,1)
+                    h = conv(h,
+                             f"encoder.down_blocks.{i}.downsamplers.0.conv",
+                             stride=2, pad=0)
+            h = mid(h, "encoder.mid_block")
+            h = conv(F.silu(gn(h, "encoder.conv_norm_out")),
+                     "encoder.conv_out")
+            moments = conv(h, "quant_conv", pad=0)
+            mean, logvar = moments.chunk(2, dim=1)
+            logvar = logvar.clamp(-30.0, 20.0)
+
+            z = conv(mean, "post_quant_conv", pad=0)
+            d = conv(z, "decoder.conv_in")
+            d = mid(d, "decoder.mid_block")
+            for i in range(len(bo)):
+                for j in range(L + 1):
+                    d = resnet(d, f"decoder.up_blocks.{i}.resnets.{j}")
+                if i < len(bo) - 1:
+                    d = F.interpolate(d, scale_factor=2, mode="nearest")
+                    d = conv(d, f"decoder.up_blocks.{i}.upsamplers.0.conv")
+            d = conv(F.silu(gn(d, "decoder.conv_norm_out")),
+                     "decoder.conv_out")
+        return mean, logvar, d
+
+    def test_encoder_decoder_parity_factor8(self):
+        import torch
+
+        from hifidiff_tpu.vae import AutoencoderKL, vae_params_from_torch
+
+        sd = self._make_sd()
+        x_t = torch.randn(2, 3, 64, 64, generator=torch.Generator()
+                          .manual_seed(7))
+        mean_t, logvar_t, dec_t = self._torch_forward(sd, x_t)
+
+        sd_np = {k: v.numpy() for k, v in sd.items()}
+        params = vae_params_from_torch(sd_np, num_blocks=len(self.BLOCKS),
+                                       layers_per_block=self.LAYERS)
+        vae = AutoencoderKL(block_out=self.BLOCKS,
+                            layers_per_block=self.LAYERS)
+        x_j = jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1))
+        mean_j, logvar_j = vae.apply({"params": params}, x_j,
+                                     method=vae.moments)
+        assert mean_j.shape == (2, 8, 8, 4)  # factor 8
+        np.testing.assert_allclose(
+            np.asarray(mean_j), mean_t.numpy().transpose(0, 2, 3, 1),
+            atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(logvar_j), logvar_t.numpy().transpose(0, 2, 3, 1),
+            atol=2e-4, rtol=1e-3)
+
+        dec_j = vae.apply({"params": params}, mean_j, method=vae.decode)
+        np.testing.assert_allclose(
+            np.asarray(dec_j), dec_t.numpy().transpose(0, 2, 3, 1),
+            atol=5e-4, rtol=1e-3)
