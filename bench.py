@@ -66,9 +66,18 @@ def main() -> None:
                    help=">1 enables encoder-propagation caching: full UNet "
                         "every k-th step, decoder-only between (approximate "
                         "sampling)")
-    p.add_argument("--workload", choices=["infer", "train"], default="infer",
+    p.add_argument("--workload", choices=["infer", "train", "host"],
+                   default="infer",
                    help="train = stage-3 denoiser pretraining step "
-                        "(VAE-encode + UNet fwd/bwd + AdamW), images/sec")
+                        "(VAE-encode + UNet fwd/bwd + AdamW), images/sec; "
+                        "host = input-pipeline throughput (Loader + native "
+                        "degradations, no device), images/sec")
+    p.add_argument("--host-mode", choices=["hq", "blind"], default="blind",
+                   help="host workload: hq = decode+resize only (stage-3 "
+                        "datasets); blind = full MultiPIE blind-degradation "
+                        "branch (stage-1/4 training)")
+    p.add_argument("--threads", type=int, default=4,
+                   help="host workload: Loader worker threads")
     p.add_argument("--remat", type=int, default=0,
                    help="train workload: jax.checkpoint the UNet blocks")
     p.add_argument("--profile", type=str, default="",
@@ -102,6 +111,9 @@ def main() -> None:
 
     if args.workload == "train":
         bench_train(args, dtype, key, log)
+        return
+    if args.workload == "host":
+        bench_host(args, log)
         return
 
     cr = CoarseRestoration(dtype=dtype)
@@ -292,6 +304,73 @@ def bench_train(args, dtype, key, log) -> None:
     print(json.dumps({
         "metric": "train_images_per_sec_denoiser_pretrain_128px",
         "value": round(imgs_per_sec, 3),
+        "unit": "images/sec",
+        "vs_baseline": 0.0,
+    }))
+
+
+def bench_host(args, log) -> None:
+    """Host input-pipeline throughput (VERDICT r1 item 9): can the Loader +
+    C++ data core feed the train step? Synthetic in-memory source images
+    (so no disk/codec variance from a missing dataset), then the REAL
+    per-sample work: the full blind-degradation branch (blur -> U(1,8)
+    downsample -> noise -> JPEG -> resize, `data/degradations.py`) + 8-bit
+    quantize for --host-mode blind, or bicubic resize only for hq
+    (stage-3's MultiPIEHQ/CelebAHQ path). Prints sustained images/sec —
+    compare against the device step rate (bench --workload train)."""
+    import numpy as np
+
+    from hifidiff_tpu.data import Loader, native
+    from hifidiff_tpu.data.core import Dataset
+    from hifidiff_tpu.data.degradations import blind_degrade, quantize_8bit
+
+    log(f"native C++ core available: {native.available()}")
+
+    class SyntheticHost(Dataset):
+        def __init__(self, n, size=128, mode="blind"):
+            self.n, self.size, self.mode = n, size, mode
+            # one shared source image per 16 indices (cheap to generate,
+            # defeats any caching because rng/degradation params differ)
+            rng = np.random.default_rng(0)
+            self.src = rng.uniform(0, 1, (16, 192, 192, 3)).astype(
+                np.float32)
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng((1, i))
+            img = self.src[i % 16]
+            if self.mode == "blind":
+                lr = blind_degrade(rng, img, self.size)
+                lr = quantize_8bit(
+                    native.resize(lr, (self.size, self.size))
+                    if native.available() else lr)
+                gt = native.resize(img, (self.size, self.size)) \
+                    if native.available() else img[:self.size, :self.size]
+            else:
+                small = native.resize(img, (32, 32)) if native.available() \
+                    else img[:32, :32]
+                lr = native.resize(small, (self.size, self.size)) \
+                    if native.available() else img[:self.size, :self.size]
+                gt = lr
+            return {"lr": lr, "gt": gt}
+
+    n = args.iters * args.batch
+    ds = SyntheticHost(n, mode=args.host_mode)
+    loader = Loader(ds, args.batch, shuffle=False,
+                    num_threads=args.threads)
+    # warm one batch (thread spin-up)
+    next(iter(Loader(ds, args.batch, shuffle=False,
+                     num_threads=args.threads)))
+    t0 = time.time()
+    count = 0
+    for batch in loader:
+        count += batch["lr"].shape[0]
+    dt = time.time() - t0
+    print(json.dumps({
+        "metric": f"host_pipeline_images_per_sec_{args.host_mode}",
+        "value": round(count / dt, 3),
         "unit": "images/sec",
         "vs_baseline": 0.0,
     }))

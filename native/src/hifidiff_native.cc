@@ -118,25 +118,46 @@ void hn_resize(const float* src, float* dst, int h, int w, int c, int oh,
 
 // ---------- filter2d (BORDER_REFLECT_101) ----------
 
-void hn_filter2d(const float* src, float* dst, int h, int w, int c,
-                 const float* kernel, int kh, int kw) {
+// One blurred output row. Vectorizable formulation: for each kernel tap,
+// the interior columns are a contiguous shifted row (an AXPY over w*c
+// floats the compiler auto-vectorizes); only the <= kw-1 border columns
+// take the reflect101 scalar path. Accumulation order (ky outer, kx
+// inner) matches the naive per-pixel loop, so results are bit-identical.
+static void blur_row(const float* src, float* out, int y, int h, int w,
+                     int c, const float* kernel, int kh, int kw) {
   const int ay = kh / 2, ax = kw / 2;
-  for (int y = 0; y < h; ++y) {
-    for (int x = 0; x < w; ++x) {
-      for (int ch = 0; ch < c; ++ch) {
-        float acc = 0.0f;
-        for (int ky = 0; ky < kh; ++ky) {
-          const int sy = reflect101(y + ky - ay, h);
-          for (int kx = 0; kx < kw; ++kx) {
-            const int sx = reflect101(x + kx - ax, w);
-            acc += kernel[(size_t)ky * kw + kx] *
-                   src[((size_t)sy * w + sx) * c + ch];
-          }
-        }
-        dst[((size_t)y * w + x) * c + ch] = acc;
+  const size_t rowlen = (size_t)w * c;
+  std::memset(out, 0, rowlen * sizeof(float));
+  for (int ky = 0; ky < kh; ++ky) {
+    const int sy = reflect101(y + ky - ay, h);
+    const float* srow = src + (size_t)sy * rowlen;
+    for (int kx = 0; kx < kw; ++kx) {
+      const float kv = kernel[(size_t)ky * kw + kx];
+      const int dx = kx - ax;
+      const int x0 = dx < 0 ? -dx : 0;
+      const int x1 = dx > 0 ? w - dx : w;
+      const float* sp = srow + (size_t)(x0 + dx) * c;
+      float* op = out + (size_t)x0 * c;
+      const size_t n = (size_t)(x1 - x0) * c;
+      for (size_t i = 0; i < n; ++i) op[i] += kv * sp[i];
+      for (int x = 0; x < x0; ++x) {
+        const int sx = reflect101(x + dx, w);
+        for (int ch = 0; ch < c; ++ch)
+          out[(size_t)x * c + ch] += kv * srow[(size_t)sx * c + ch];
+      }
+      for (int x = x1; x < w; ++x) {
+        const int sx = reflect101(x + dx, w);
+        for (int ch = 0; ch < c; ++ch)
+          out[(size_t)x * c + ch] += kv * srow[(size_t)sx * c + ch];
       }
     }
   }
+}
+
+void hn_filter2d(const float* src, float* dst, int h, int w, int c,
+                 const float* kernel, int kh, int kw) {
+  for (int y = 0; y < h; ++y)
+    blur_row(src, dst + (size_t)y * w * c, y, h, w, c, kernel, kh, kw);
 }
 
 // ---------- noise / quantize ----------
@@ -192,8 +213,20 @@ void hn_quantize8(float* img, int64_t n) {
 void hn_degrade_stage1(const float* src, float* dst, int h, int w, int c,
                        const float* kernel, int ksize, int small_h,
                        int small_w, float noise_sigma, uint64_t seed) {
-  std::vector<float> blurred((size_t)h * w * c);
-  hn_filter2d(src, blurred.data(), h, w, c, kernel, ksize, ksize);
+  // the linear downsample only reads 2 source rows per output row — blur
+  // just those (exact: unread rows cannot affect the result). At the
+  // typical U(1,8) downsample scales this skips most of the blur work.
+  const int taps = 2;
+  std::vector<int> yi;
+  std::vector<float> yw;
+  resize_axis_weights(h, small_h, taps, yi, yw, false);
+  std::vector<uint8_t> needed((size_t)h, 0);
+  for (size_t i = 0; i < yi.size(); ++i) needed[(size_t)yi[i]] = 1;
+  std::vector<float> blurred((size_t)h * w * c, 0.0f);
+  for (int y = 0; y < h; ++y)
+    if (needed[(size_t)y])
+      blur_row(src, blurred.data() + (size_t)y * w * c, y, h, w, c, kernel,
+               ksize, ksize);
   resize_impl(blurred.data(), dst, h, w, c, small_h, small_w, false);
   hn_add_gaussian_noise(dst, (int64_t)small_h * small_w * c, noise_sigma,
                         seed);
