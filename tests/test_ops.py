@@ -149,3 +149,79 @@ class TestBicubicResize:
                             align_corners=False)
         np.testing.assert_allclose(np.asarray(out), nhwc(ref.numpy()),
                                    atol=2e-5, rtol=1e-4)
+
+
+class TestFastWarp:
+    """Hat-matmul warp (MXU formulation) must match the gather formulation
+    exactly — same bilinear math, different execution strategy."""
+
+    def _theta(self, b, scale=0.05, seed=0):
+        rng = np.random.default_rng(seed)
+        identity = np.tile(np.asarray([[1, 0, 0], [0, 1, 0]], np.float32),
+                           (b, 1, 1))
+        return jnp.asarray(
+            identity + rng.normal(0, scale, (b, 2, 3)).astype(np.float32))
+
+    def test_matmul_small_matches_gather(self, monkeypatch):
+        from hifidiff_tpu.ops.warp import affine_warp
+
+        monkeypatch.setenv("HIFIDIFF_FORCE_FAST_WARP", "1")
+        for res, c in ((8, 16), (16, 8), (32, 4)):
+            x = jax.random.normal(jax.random.PRNGKey(res), (3, res, res, c))
+            theta = self._theta(3, seed=res)
+            fast = affine_warp(x, theta)
+            ref = affine_warp(x, theta, method="gather")
+            np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                       atol=2e-5, rtol=1e-5)
+
+    def test_rowwin_pallas_matches_gather(self, monkeypatch):
+        from hifidiff_tpu.ops.warp import affine_warp
+
+        monkeypatch.setenv("HIFIDIFF_FORCE_FAST_WARP", "1")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 8))
+        theta = self._theta(2, scale=0.03)
+        fast = affine_warp(x, theta)  # H*W > 1024 -> pallas (interpret)
+        ref = affine_warp(x, theta, method="gather")
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_extreme_shear_falls_back_exactly(self, monkeypatch):
+        """|dsy/dj| too large for the K-row window -> lax.cond picks the
+        gather branch; result must still be exact."""
+        from hifidiff_tpu.ops.warp import affine_warp
+
+        monkeypatch.setenv("HIFIDIFF_FORCE_FAST_WARP", "1")
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 4))
+        theta = jnp.tile(jnp.asarray(
+            [[1.0, 0.0, 0.0], [0.9, 1.0, 0.0]], jnp.float32)[None],
+            (2, 1, 1))  # huge y-shear: span ~ 0.9 * 64 >> K
+        fast = affine_warp(x, theta)
+        ref = affine_warp(x, theta, method="gather")
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_gradients_match_gather(self, monkeypatch):
+        from hifidiff_tpu.ops.warp import affine_warp
+
+        monkeypatch.setenv("HIFIDIFF_FORCE_FAST_WARP", "1")
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 4))
+        theta = self._theta(2, scale=0.04, seed=9)
+
+        def loss_fast(x, t):
+            return jnp.sum(affine_warp(x, t) ** 2)
+
+        def loss_ref(x, t):
+            return jnp.sum(affine_warp(x, t, method="gather") ** 2)
+
+        gx_f, gt_f = jax.grad(loss_fast, argnums=(0, 1))(x, theta)
+        gx_r, gt_r = jax.grad(loss_ref, argnums=(0, 1))(x, theta)
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gt_f), np.asarray(gt_r),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_cpu_default_is_gather(self):
+        from hifidiff_tpu.ops import warp as warp_mod
+
+        x = jnp.ones((1, 64, 64, 4))
+        assert not warp_mod._fast_allowed(x)  # cpu backend, no force env
