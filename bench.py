@@ -45,10 +45,11 @@ FALLBACK_PIPELINE_TFLOPS_PER_FACE = 0.232
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    # batch sweep on v5e (bf16 params, uint8 I/O, split stages):
-    # 64 -> ~170 f/s, 96 -> 201.3, 128 -> 137 (regresses). 96 is the
-    # sweet spot.
-    p.add_argument("--batch", type=int, default=96)
+    # batch sweep on v5e (bf16 params, uint8 I/O, split stages, fast warp;
+    # quiet host — concurrent CPU load skews results up to 40%):
+    # 96 -> 288.9, 128 -> 305.3, 192 -> ~243(contended), 256 -> ~275
+    # (corrected). 128 is the sweet spot.
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
@@ -60,7 +61,7 @@ def main() -> None:
     p.add_argument("--mode", choices=["split", "fused"], default="split",
                    help="chained jitted stages (faster) vs one program")
     p.add_argument("--quant", choices=["none", "int8"], default="none",
-                   help="w8a8 int8 denoiser (halves scan weight streaming; "
+                   help="w8 int8 denoiser (halves scan weight streaming; "
                         "opt-in, small numeric drift)")
     p.add_argument("--cache-interval", type=int, default=1,
                    help=">1 enables encoder-propagation caching: full UNet "
@@ -136,7 +137,7 @@ def main() -> None:
     if args.quant == "int8":
         from hifidiff_tpu.ops.quant import quantize_variables
 
-        refiner = FacialRefiner(dtype=dtype, w8a8=True)
+        refiner = FacialRefiner(dtype=dtype, w8=True)
         q_shapes = jax.eval_shape(
             lambda k: refiner.init(k, jnp.zeros((1, 16, 16, 4)),
                                    jnp.zeros((1,)),
@@ -144,7 +145,7 @@ def main() -> None:
                                    jnp.zeros((1, 16, 16, 4)), train=False),
             key)["params"]
         refiner_params = quantize_variables(rv["params"], q_shapes)
-        log("denoiser quantized to w8a8 int8")
+        log("denoiser quantized to w8 int8")
 
     variables = {
         "refiner": {"params": refiner_params,

@@ -44,11 +44,14 @@ class LayerNorm2d(nn.Module):
 
     channels: int
     eps: float = 1e-6
+    declare_only: bool = False
 
     @nn.compact
     def __call__(self, x, scale=None, shift=None):
         weight = self.param("weight", nn.initializers.ones, (self.channels,))
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        if self.declare_only:
+            return weight, bias
         if scale is not None:
             return ln_film(x, weight, bias, scale, shift, self.eps)
         out = layer_norm_2d(
@@ -64,9 +67,9 @@ class TorchConv(nn.Module):
     kernel: U(-1/sqrt(fan_in), 1/sqrt(fan_in)); bias likewise; fan_in =
     (cin/groups) * kh * kw. Layout is NHWC/HWIO (TPU-native).
 
-    With `w8a8=True` the kernel is stored int8 with per-output-channel
-    scales and the conv runs on the int8 MXU path with dynamic per-tensor
-    activation quantization (see ops/quant.py) — inference only.
+    With `w8=True` the kernel is stored int8 with per-output-channel
+    scales; 1x1 convs run the Pallas int8-weight matmul (weights stay int8
+    in HBM — see ops/quant.py) — inference only.
     """
 
     features: int
@@ -75,7 +78,9 @@ class TorchConv(nn.Module):
     padding: str | int | tuple = 0
     feature_group_count: int = 1
     use_bias: bool = True
-    w8a8: bool = False
+    w8: bool = False
+    declare_only: bool = False  # return the param dict (same tree paths)
+    # instead of computing — lets fused Pallas paths consume raw kernels
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -87,14 +92,21 @@ class TorchConv(nn.Module):
         fan_in = (cin // self.feature_group_count) * int(
             math.prod(self.kernel_size)
         )
-        if self.w8a8:
-            from hifidiff_tpu.ops.quant import conv_w8a8
+        from hifidiff_tpu.ops import quant
 
-            sub = self._w8a8_scope(
+        kshape = (*self.kernel_size, cin // self.feature_group_count,
+                  self.features)
+        if self.declare_only:
+            if self.w8 and quant.w8_layer_eligible(fan_in * self.features):
+                return self._w8_scope(kshape, fan_in)
+            return _FloatConvParams(kshape, fan_in, self.use_bias,
+                                    name="conv")()
+        if self.w8 and quant.w8_layer_eligible(fan_in * self.features):
+            sub = self._w8_scope(
                 (*self.kernel_size, cin // self.feature_group_count,
                  self.features), fan_in)
-            y = conv_w8a8(x, sub["kernel_q"], sub["kernel_scale"],
-                          self.strides, pad, self.feature_group_count)
+            y = quant.conv_w8(x, sub["kernel_q"], sub["kernel_scale"],
+                              self.strides, pad, self.feature_group_count)
             if self.use_bias:
                 y = y + sub["bias"]
             return y.astype(x.dtype)
@@ -111,14 +123,33 @@ class TorchConv(nn.Module):
             name="conv",
         )(x)
 
-    def _w8a8_scope(self, kshape, fan_in):
+    def _w8_scope(self, kshape, fan_in):
         """Declare int8 kernel + scales + bias under the same "conv" scope
         the float variant uses (keeps checkpoint paths aligned)."""
-        scope = _W8A8Params(kshape, fan_in, self.use_bias, name="conv")
+        scope = _W8Params(kshape, fan_in, self.use_bias, name="conv")
         return scope()
 
 
-class _W8A8Params(nn.Module):
+class _FloatConvParams(nn.Module):
+    """Declare nn.Conv-identical params ("kernel"/"bias", same inits and
+    tree paths) without building the conv — used by `declare_only`."""
+
+    kshape: tuple
+    fan_in: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        out = {"kernel": self.param("kernel", torch_conv_kernel_init,
+                                    self.kshape)}
+        if self.use_bias:
+            out["bias"] = self.param(
+                "bias", torch_fan_in_bias_init(self.fan_in),
+                (self.kshape[-1],))
+        return out
+
+
+class _W8Params(nn.Module):
     kshape: tuple
     fan_in: int
     use_bias: bool
@@ -140,11 +171,12 @@ class _W8A8Params(nn.Module):
 
 
 class TorchDense(nn.Module):
-    """nn.Dense with PyTorch-default initialization (+ optional w8a8)."""
+    """nn.Dense with PyTorch-default initialization (+ optional int8
+    weights — see TorchConv)."""
 
     features: int
     use_bias: bool = True
-    w8a8: bool = False
+    w8: bool = False
     dtype: jnp.dtype | None = None
     kernel_init: object = torch_linear_kernel_init
     bias_init: object = None
@@ -153,12 +185,12 @@ class TorchDense(nn.Module):
     def __call__(self, x):
         fan_in = x.shape[-1]
         bias_init = self.bias_init or torch_fan_in_bias_init(fan_in)
-        if self.w8a8:
-            from hifidiff_tpu.ops.quant import dense_w8a8
+        from hifidiff_tpu.ops import quant
 
-            sub = _W8A8Params((fan_in, self.features), fan_in,
-                              self.use_bias, name="dense")()
-            y = dense_w8a8(x, sub["kernel_q"], sub["kernel_scale"])
+        if self.w8 and quant.w8_layer_eligible(fan_in * self.features):
+            sub = _W8Params((fan_in, self.features), fan_in,
+                            self.use_bias, name="dense")()
+            y = quant.dense_w8(x, sub["kernel_q"], sub["kernel_scale"])
             if self.use_bias:
                 y = y + sub["bias"]
             return y.astype(x.dtype)

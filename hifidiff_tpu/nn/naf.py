@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from hifidiff_tpu.nn.layers import LayerNorm2d, TorchConv, TorchDense
@@ -33,13 +34,17 @@ class SimplifiedChannelAttention(nn.Module):
     """Global average pool -> 1x1 conv -> multiplicative per-channel gate."""
 
     channels: int
-    w8a8: bool = False
+    w8: bool = False
+    declare_only: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
+        if self.declare_only:
+            return TorchConv(self.channels, (1, 1), w8=self.w8,
+                             declare_only=True, name="conv")(x)
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
-        w = TorchConv(self.channels, (1, 1), w8a8=self.w8a8,
+        w = TorchConv(self.channels, (1, 1), w8=self.w8,
                       dtype=self.dtype, name="conv")(pooled)
         return x * w
 
@@ -82,7 +87,7 @@ class ConditionalNAFBlock(nn.Module):
     time_dim: int = 512
     dw_expand: int = 2
     ffn_expand: int = 2
-    w8a8: bool = False
+    w8: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -103,10 +108,12 @@ class ConditionalNAFBlock(nn.Module):
         ffn = c * self.ffn_expand
 
         if film is None:
-            film = TorchDense(4 * c, w8a8=self.w8a8, dtype=self.dtype,
+            film = TorchDense(4 * c, w8=self.w8, dtype=self.dtype,
                               name="time_proj")(simple_gate(t))
         if x is None:
             return film
+        if self._fused_1x1_ok(x, film):
+            return self._fused_1x1(x, film)
         if film.shape[0] != x.shape[0]:
             film = jnp.broadcast_to(film, (x.shape[0], film.shape[-1]))
         shift_att, scale_att, shift_ffn, scale_ffn = jnp.split(film, 4,
@@ -114,25 +121,73 @@ class ConditionalNAFBlock(nn.Module):
 
         inp = x
         x = LayerNorm2d(c, name="norm1")(x, scale=scale_att, shift=shift_att)
-        x = TorchConv(dw, (1, 1), w8a8=self.w8a8, dtype=self.dtype,
+        x = TorchConv(dw, (1, 1), w8=self.w8, dtype=self.dtype,
                       name="conv1")(x)
         x = TorchConv(dw, (3, 3), padding=1, feature_group_count=dw,
-                      w8a8=self.w8a8, dtype=self.dtype, name="conv2")(x)
+                      w8=self.w8, dtype=self.dtype, name="conv2")(x)
         x = simple_gate(x)
-        x = SimplifiedChannelAttention(dw // 2, w8a8=self.w8a8,
+        x = SimplifiedChannelAttention(dw // 2, w8=self.w8,
                                        dtype=self.dtype, name="sca")(x)
-        x = TorchConv(c, (1, 1), w8a8=self.w8a8, dtype=self.dtype,
+        x = TorchConv(c, (1, 1), w8=self.w8, dtype=self.dtype,
                       name="conv3")(x)
 
         beta = self.param("beta", nn.initializers.zeros, (c,))
         y = inp + x * beta.astype(x.dtype)
 
         x = LayerNorm2d(c, name="norm2")(y, scale=scale_ffn, shift=shift_ffn)
-        x = TorchConv(ffn, (1, 1), w8a8=self.w8a8, dtype=self.dtype,
+        x = TorchConv(ffn, (1, 1), w8=self.w8, dtype=self.dtype,
                       name="conv4")(x)
         x = simple_gate(x)
-        x = TorchConv(c, (1, 1), w8a8=self.w8a8, dtype=self.dtype,
+        x = TorchConv(c, (1, 1), w8=self.w8, dtype=self.dtype,
                       name="conv5")(x)
 
         gamma = self.param("gamma", nn.initializers.zeros, (c,))
         return y + x * gamma.astype(x.dtype)
+
+    def _fused_1x1_ok(self, x, film) -> bool:
+        """Fused Pallas block for 1x1 spatial (the 8 denoiser mid blocks)
+        with a hoisted batch-1 FiLM slice — the inference sampler path.
+        Measured rationale in ops/pallas/naf_block.py. Gradients don't
+        flow here (training uses per-sample films at >=2x2 spatial)."""
+        import os
+
+        if os.environ.get("HIFIDIFF_DISABLE_FUSED_NAF"):
+            return False
+        if x.shape[1] != 1 or x.shape[2] != 1 or film.shape[0] != 1:
+            return False
+        if self.dw_expand != 2 or self.ffn_expand != 2:
+            return False
+        if self.c % 128 or self.c < 128:
+            return False
+        if os.environ.get("HIFIDIFF_FORCE_FUSED_NAF"):
+            return True  # tests: interpret path on CPU
+        return (jax.default_backend() in ("tpu", "axon")
+                and x.dtype == jnp.bfloat16)
+
+    def _fused_1x1(self, x, film):
+        from hifidiff_tpu.ops.pallas.naf_block import fused_cnaf_block_1x1
+
+        c = self.c
+        dw = c * self.dw_expand
+        dummy_dw = jnp.zeros((1, 1, 1, dw), x.dtype)
+        ln1 = LayerNorm2d(c, declare_only=True, name="norm1")(x)
+        conv1 = TorchConv(dw, (1, 1), w8=self.w8, declare_only=True,
+                          name="conv1")(x)
+        conv2 = TorchConv(dw, (3, 3), padding=1, feature_group_count=dw,
+                          w8=self.w8, declare_only=True,
+                          name="conv2")(dummy_dw)
+        sca = SimplifiedChannelAttention(dw // 2, w8=self.w8,
+                                         declare_only=True, name="sca")(x)
+        conv3 = TorchConv(c, (1, 1), w8=self.w8, declare_only=True,
+                          name="conv3")(x)
+        beta = self.param("beta", nn.initializers.zeros, (c,))
+        ln2 = LayerNorm2d(c, declare_only=True, name="norm2")(x)
+        conv4 = TorchConv(c * self.ffn_expand, (1, 1), w8=self.w8,
+                          declare_only=True, name="conv4")(x)
+        conv5 = TorchConv(c, (1, 1), w8=self.w8, declare_only=True,
+                          name="conv5")(x)
+        gamma = self.param("gamma", nn.initializers.zeros, (c,))
+        return fused_cnaf_block_1x1(
+            x, film, ln1=ln1, ln2=ln2, conv1=conv1, conv2=conv2,
+            sca_conv=sca, conv3=conv3, conv4=conv4, conv5=conv5,
+            beta=beta, gamma=gamma)

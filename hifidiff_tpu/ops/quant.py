@@ -1,23 +1,30 @@
-"""Weight+activation int8 (w8a8) quantization for inference.
+"""Int8 weight quantization for inference (w8: int8 weights, bf16 compute).
 
 Motivation (measured, see README/bench): the 50-step DDIM scan is
-weight-streaming bound — ~350M denoiser params re-read from HBM every step.
-Storing weights int8 halves that traffic and the int8 MXU path doubles
-matmul rate; activations are quantized dynamically per-tensor so the
-dequantize stays fused (a weight-only dequant would be hoisted out of the
-scan by XLA and re-materialized in bf16, winning nothing).
+weight-streaming bound at small batch — all ~446M denoiser params are
+re-read from HBM every step (~0.9 GB/step in bf16). Storing weights int8
+halves that floor. The reference has no quantized path (all fp32/tf32 cuDNN,
+`models/denoiser/conditional_naf.py:40-76`).
 
-Scheme: symmetric per-output-channel weight scales, symmetric per-tensor
-dynamic activation scale (abs-max/127), int8 x int8 -> int32 accumulation,
-float rescale. Opt-in (`FusedDenoiser(w8a8=True)`) — quantization error
-compounds over the 50-step loop, so parity-critical evals keep bf16.
+Scheme (`FusedDenoiser(w8=True)`): symmetric per-output-channel int8
+weights. 1x1 convolutions and dense layers run through the Pallas
+`matmul_w8` kernel — the int8->bf16 cast happens on the weight tile in VMEM
+*inside* the kernel, so HBM traffic is int8 and nothing is hoisted out of
+the scan (an XLA-level dequantize is loop-invariant: XLA hoists it and
+re-materializes bf16 copies, winning nothing — that killed the round-1
+attempt). Non-1x1 convs (3x3 depthwise, HCA fused 3x3) carry negligible
+weight bytes and run dequantize->XLA-conv.
 
-MEASURED CAVEAT (v5e, 2026-08): with the current XLA/Mosaic lowering this
-path benches 3x SLOWER end-to-end than bf16 (52.9 vs 160+ faces/s) — the
-int8 convolutions do not hit an efficient MXU path and the per-layer
-dynamic activation quantization adds VPU work. Kept as an experimental
-subsystem (`bench.py --quant int8`); revisit with native-int8 Pallas
-matmul kernels or newer XLA.
+Numerics: per-cout scale applied to the f32 accumulator — equivalent to
+dequantize-then-matmul, without the bf16 rounding of `w_q * scale`.
+Opt-in: quantization error compounds over the 50-step loop, so
+parity-critical evals keep bf16.
+
+LEGACY (round-1 experiment, kept for the record + tests): `dense_w8a8` /
+`conv_w8a8` — dynamic per-tensor activation quant + int8 x int8 -> int32
+via XLA. Measured 3x SLOWER than bf16 end-to-end on v5e (52.9 vs 160+
+faces/s): the int8 convolutions do not hit an efficient MXU path under the
+current XLA lowering and the per-layer activation quant adds VPU work.
 
 `quantize_variables` converts a trained f32/bf16 tree into the quantized
 module's tree (structure-driven: the target structure comes from the
@@ -30,7 +37,19 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+# Quantize a layer only when its weight matrix is large enough that HBM
+# weight streaming dominates its cost. Below this, M (= B*H*W) is large
+# relative to the weights, the matmul is compute-bound, and the extra
+# Pallas dispatch per conv is a net loss (measured: quantizing ALL ~140
+# 1x1 convs benched 171 faces/s vs 290 bf16; the win lives in the
+# >=1024-channel enc3/mid/dec0 layers, ~390M of 446M params).
+# Tests monkeypatch this to 0 to exercise the path on tiny models.
+W8_MIN_WEIGHT_PARAMS = 1 << 21
+
+
+def w8_layer_eligible(weight_params: int) -> bool:
+    return weight_params >= W8_MIN_WEIGHT_PARAMS
 
 
 def quantize_weight_per_cout(kernel: jax.Array):
@@ -42,6 +61,49 @@ def quantize_weight_per_cout(kernel: jax.Array):
     return q.astype(jnp.int8), scale.astype(jnp.float32)
 
 
+def _dequant(kernel_q: jax.Array, kernel_scale: jax.Array, dtype):
+    return (kernel_q.astype(jnp.float32) * kernel_scale).astype(dtype)
+
+
+def dense_w8(x: jax.Array, kernel_q: jax.Array,
+             kernel_scale: jax.Array) -> jax.Array:
+    """x: (..., cin); kernel_q: (cin, cout) int8 -> (..., cout) x.dtype."""
+    cin, cout = kernel_q.shape
+    if cin % 32 or cout % 128:
+        # below int8 tile granularity: dequantized XLA matmul (weight bytes
+        # here are negligible; hoisting is irrelevant)
+        return x @ _dequant(kernel_q, kernel_scale, x.dtype)
+    from hifidiff_tpu.ops.pallas.int8_matmul import matmul_w8
+
+    lead = x.shape[:-1]
+    y = matmul_w8(x.reshape(-1, cin), kernel_q, kernel_scale)
+    return y.reshape(*lead, cout)
+
+
+def conv_w8(x: jax.Array, kernel_q: jax.Array, kernel_scale: jax.Array,
+            strides, padding, feature_group_count: int = 1) -> jax.Array:
+    """NHWC conv with int8-resident weights. kernel_q: HWIO int8.
+
+    1x1/stride-1/ungrouped convs (the weight-heavy ones) reshape to the
+    Pallas matmul; everything else dequantizes and calls the XLA conv.
+    """
+    kh, kw, cin, cout = kernel_q.shape
+    pad = padding
+    unpadded = pad in (0, ((0, 0), (0, 0)), "VALID")
+    if (kh == kw == 1 and feature_group_count == 1
+            and tuple(strides) == (1, 1) and unpadded):
+        n, h, w, _ = x.shape
+        y = dense_w8(x.reshape(n * h * w, cin),
+                     kernel_q.reshape(cin, cout), kernel_scale)
+        return y.reshape(n, h, w, cout)
+    y = jax.lax.conv_general_dilated(
+        x, _dequant(kernel_q, kernel_scale, x.dtype),
+        window_strides=tuple(strides), padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=feature_group_count)
+    return y
+
+
 def _quantize_act(x: jax.Array):
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
     scale = jnp.maximum(amax, 1e-8) / 127.0
@@ -51,7 +113,7 @@ def _quantize_act(x: jax.Array):
 
 def dense_w8a8(x: jax.Array, kernel_q: jax.Array,
                kernel_scale: jax.Array) -> jax.Array:
-    """x: (..., cin) float; kernel_q: (cin, cout) int8 -> (..., cout) f32."""
+    """LEGACY w8a8 (see module docstring). (..., cin) -> (..., cout) f32."""
     x_q, x_scale = _quantize_act(x)
     y = jax.lax.dot_general(
         x_q, kernel_q,
@@ -62,7 +124,7 @@ def dense_w8a8(x: jax.Array, kernel_q: jax.Array,
 
 def conv_w8a8(x: jax.Array, kernel_q: jax.Array, kernel_scale: jax.Array,
               strides, padding, feature_group_count: int = 1) -> jax.Array:
-    """NHWC int8 convolution with float rescale. kernel_q: HWIO int8."""
+    """LEGACY w8a8 NHWC int8 convolution with float rescale."""
     x_q, x_scale = _quantize_act(x)
     y = jax.lax.conv_general_dilated(
         x_q, kernel_q, window_strides=strides, padding=padding,

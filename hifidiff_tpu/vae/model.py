@@ -25,6 +25,26 @@ import jax.numpy as jnp
 SD_VAE_SCALING = 0.18215
 
 
+class GroupNormSiLU(nn.Module):
+    """GroupNorm(32, eps=1e-6) + SiLU via the fused Pallas kernel on TPU
+    (`ops/pallas/groupnorm_silu.py`). Param names/shapes match
+    `nn.GroupNorm` ("scale"/"bias") so checkpoints and the diffusers
+    importer are unaffected."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        from hifidiff_tpu.ops.norm import group_norm_silu
+
+        return group_norm_silu(x, scale, bias, self.num_groups,
+                               self.epsilon)
+
+
 class ResnetBlock(nn.Module):
     out_ch: int
     dtype: Optional[jnp.dtype] = None
@@ -32,12 +52,10 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNormSiLU(name="norm1")(x)
         h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(name="norm2")(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_ch:
@@ -98,8 +116,7 @@ class Encoder(nn.Module):
                 x = nn.Conv(ch, (3, 3), strides=(2, 2), padding="VALID",
                             dtype=self.dtype, name=f"down{i}_downconv")(x)
         x = MidBlock(self.block_out[-1], dtype=self.dtype, name="mid")(x)
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm_out")(x)
-        x = nn.silu(x)
+        x = GroupNormSiLU(name="norm_out")(x)
         return nn.Conv(2 * self.latent_channels, (3, 3),
                        padding=((1, 1), (1, 1)), dtype=self.dtype,
                        name="conv_out")(x)
@@ -125,8 +142,7 @@ class Decoder(nn.Module):
                 x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
                 x = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
                             dtype=self.dtype, name=f"up{i}_upconv")(x)
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm_out")(x)
-        x = nn.silu(x)
+        x = GroupNormSiLU(name="norm_out")(x)
         return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                        dtype=self.dtype, name="conv_out")(x)
 
