@@ -112,8 +112,8 @@ class ConditionalNAFBlock(nn.Module):
                               name="time_proj")(simple_gate(t))
         if x is None:
             return film
-        if self._fused_1x1_ok(x, film):
-            return self._fused_1x1(x, film)
+        if self._fused_small_ok(x, film):
+            return self._fused_small(x, film)
         if film.shape[0] != x.shape[0]:
             film = jnp.broadcast_to(film, (x.shape[0], film.shape[-1]))
         shift_att, scale_att, shift_ffn, scale_ffn = jnp.split(film, 4,
@@ -144,16 +144,23 @@ class ConditionalNAFBlock(nn.Module):
         gamma = self.param("gamma", nn.initializers.zeros, (c,))
         return y + x * gamma.astype(x.dtype)
 
-    def _fused_1x1_ok(self, x, film) -> bool:
-        """Fused Pallas block for 1x1 spatial (the 8 denoiser mid blocks)
-        with a hoisted batch-1 FiLM slice — the inference sampler path.
-        Measured rationale in ops/pallas/naf_block.py. Gradients don't
-        flow here (training uses per-sample films at >=2x2 spatial)."""
+    def _fused_small_ok(self, x, film) -> bool:
+        """OPT-IN fused Pallas block for 1x1/2x2 spatial with a hoisted
+        batch-1 FiLM slice (HIFIDIFF_FUSE_NAF=1 on TPU, or
+        HIFIDIFF_FORCE_FUSED_NAF=1 for interpret-mode tests).
+
+        MEASURED (v5e, batch 128): ISOLATED the fused mid stack beats XLA
+        (2.08-2.38 ms vs 2.3-4.7 ms for 8 blocks) — but IN the 50-step
+        scan the XLA-only step is faster (186.6 vs 198.8 ms, w8 248 ms):
+        a pallas_call is a scheduling barrier, while XLA overlaps future
+        ops' weight DMA with current compute across the whole step, which
+        per-kernel double-buffering cannot match. Default off; rationale
+        and kernel design in ops/pallas/naf_block.py. Gradients don't
+        flow here (training uses per-sample films)."""
         import os
 
-        if os.environ.get("HIFIDIFF_DISABLE_FUSED_NAF"):
-            return False
-        if x.shape[1] != 1 or x.shape[2] != 1 or film.shape[0] != 1:
+        if (x.shape[1] != x.shape[2] or x.shape[1] not in (1, 2)
+                or film.shape[0] != 1):
             return False
         if self.dw_expand != 2 or self.ffn_expand != 2:
             return False
@@ -161,11 +168,12 @@ class ConditionalNAFBlock(nn.Module):
             return False
         if os.environ.get("HIFIDIFF_FORCE_FUSED_NAF"):
             return True  # tests: interpret path on CPU
-        return (jax.default_backend() in ("tpu", "axon")
+        return (bool(os.environ.get("HIFIDIFF_FUSE_NAF"))
+                and jax.default_backend() in ("tpu", "axon")
                 and x.dtype == jnp.bfloat16)
 
-    def _fused_1x1(self, x, film):
-        from hifidiff_tpu.ops.pallas.naf_block import fused_cnaf_block_1x1
+    def _fused_small(self, x, film):
+        from hifidiff_tpu.ops.pallas.naf_block import fused_cnaf_block_small
 
         c = self.c
         dw = c * self.dw_expand
@@ -187,7 +195,7 @@ class ConditionalNAFBlock(nn.Module):
         conv5 = TorchConv(c, (1, 1), w8=self.w8, declare_only=True,
                           name="conv5")(x)
         gamma = self.param("gamma", nn.initializers.zeros, (c,))
-        return fused_cnaf_block_1x1(
+        return fused_cnaf_block_small(
             x, film, ln1=ln1, ln2=ln2, conv1=conv1, conv2=conv2,
             sca_conv=sca, conv3=conv3, conv4=conv4, conv5=conv5,
             beta=beta, gamma=gamma)

@@ -45,7 +45,10 @@ import jax.numpy as jnp
 # 1x1 convs benched 171 faces/s vs 290 bf16; the win lives in the
 # >=1024-channel enc3/mid/dec0 layers, ~390M of 446M params).
 # Tests monkeypatch this to 0 to exercise the path on tiny models.
-W8_MIN_WEIGHT_PARAMS = 1 << 21
+# 1M params = the 1024-channel 1x1 convs: keeps every matmul of the
+# enc3/dec0/mid blocks uniformly int8 (the fused NAF kernel streams all
+# five of a block's matrices with one dtype).
+W8_MIN_WEIGHT_PARAMS = 1 << 20
 
 
 def w8_layer_eligible(weight_params: int) -> bool:

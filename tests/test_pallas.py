@@ -163,11 +163,12 @@ class TestFusedCNafBlock:
                                  (1, 4 * c)) * 0.2
         t = jax.random.normal(jax.random.PRNGKey(seed + 2), (3, 512))
         blk = ConditionalNAFBlock(c, w8=w8)
-        os.environ["HIFIDIFF_DISABLE_FUSED_NAF"] = "1"
+        force = os.environ.pop("HIFIDIFF_FORCE_FUSED_NAF", None)
         try:
             v = ConditionalNAFBlock(c).init(key, x, t)
         finally:
-            del os.environ["HIFIDIFF_DISABLE_FUSED_NAF"]
+            if force is not None:
+                os.environ["HIFIDIFF_FORCE_FUSED_NAF"] = force
         p = dict(v["params"])
         p["beta"] = jax.random.normal(jax.random.PRNGKey(7), (c,)) * 0.5
         p["gamma"] = jax.random.normal(jax.random.PRNGKey(8), (c,)) * 0.5
@@ -177,11 +178,9 @@ class TestFusedCNafBlock:
         return blk, {"params": p}, x, film, t
 
     def test_fused_matches_standard(self, monkeypatch):
-        monkeypatch.setenv("HIFIDIFF_FORCE_FUSED_NAF", "1")
         blk, v, x, film, t = self._setup()
-        monkeypatch.setenv("HIFIDIFF_DISABLE_FUSED_NAF", "1")
-        ref = blk.apply(v, x, film=film)
-        monkeypatch.delenv("HIFIDIFF_DISABLE_FUSED_NAF")
+        ref = blk.apply(v, x, film=film)     # default: standard path
+        monkeypatch.setenv("HIFIDIFF_FORCE_FUSED_NAF", "1")
         out = blk.apply(v, x, film=film)
         # non-vacuous: the block must actually transform the input
         assert float(jnp.abs(ref - x).max()) > 0.1
@@ -210,9 +209,7 @@ class TestFusedCNafBlock:
         key = jax.random.PRNGKey(0)
         x = jnp.zeros((1, 1, 1, c))
         film = jnp.zeros((1, 4 * c))
-        monkeypatch.setenv("HIFIDIFF_DISABLE_FUSED_NAF", "1")
         v_std = ConditionalNAFBlock(c).init(key, x, film=film)
-        monkeypatch.delenv("HIFIDIFF_DISABLE_FUSED_NAF")
         monkeypatch.setenv("HIFIDIFF_FORCE_FUSED_NAF", "1")
         v_fused = ConditionalNAFBlock(c).init(key, x, film=film)
         assert (jax.tree_util.tree_structure(v_std)
@@ -230,7 +227,32 @@ class TestFusedCNafBlock:
         blk, v, x, film, t = self._setup()
         film_b = jnp.broadcast_to(film, (3, film.shape[-1]))
         out = blk.apply(v, x, film=film_b)       # takes the standard path
-        monkeypatch.setenv("HIFIDIFF_DISABLE_FUSED_NAF", "1")
+        monkeypatch.delenv("HIFIDIFF_FORCE_FUSED_NAF")
         ref = blk.apply(v, x, film=film_b)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-6)
+
+    def test_fused_2x2_matches_standard(self, monkeypatch):
+        """2x2 spatial: depthwise 3x3 lowered to a position-mix, SCA pool
+        over the 4 positions."""
+        import os
+
+        from hifidiff_tpu.nn.naf import ConditionalNAFBlock
+
+        c = 256
+        key = jax.random.PRNGKey(3)
+        x = jax.random.normal(key, (3, 2, 2, c))
+        film = jax.random.normal(jax.random.PRNGKey(4), (1, 4 * c)) * 0.2
+        t = jax.random.normal(jax.random.PRNGKey(5), (3, 512))
+        blk = ConditionalNAFBlock(c)
+        v = blk.init(key, x, t)
+        p = dict(v["params"])
+        p["beta"] = jax.random.normal(jax.random.PRNGKey(7), (c,)) * 0.5
+        p["gamma"] = jax.random.normal(jax.random.PRNGKey(8), (c,)) * 0.5
+        v = {"params": p}
+        ref = blk.apply(v, x, film=film)
+        monkeypatch.setenv("HIFIDIFF_FORCE_FUSED_NAF", "1")
+        out = blk.apply(v, x, film=film)
+        assert float(jnp.abs(ref - x).max()) > 0.1  # non-vacuous
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
