@@ -203,10 +203,10 @@ def main(argv=None) -> None:
                             "batch_stats": state.batch_stats},
                 "cr": frozen["cr"], "vae": frozen["vae"],
             }
-            pred = sampler(sample_vars, jlocal_shard(batch["lr"]),
+            pred = sampler(sample_vars, local_shard(batch["lr"]),
                            jax.random.fold_in(key, 50_000 + i))
             pred_n = min_max_normalize(pred)
-            gt_n = min_max_normalize(jlocal_shard(batch["gt"]))
+            gt_n = min_max_normalize(local_shard(batch["gt"]))
             psnrs.append(float(psnr(pred_n, gt_n)))
             ssims.append(float(ssim(pred_n, gt_n)))
             if i == 0:
