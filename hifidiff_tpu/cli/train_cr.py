@@ -98,7 +98,14 @@ def main(argv=None) -> None:
     train_loader = Loader(train_ds, cfg.batch_size, shuffle=True,
                           seed=cfg.seed, shard_index=process_index(),
                           num_shards=process_count())
-    val_loader = Loader(val_ds, cfg.batch_size, shuffle=False)
+    # val is sharded too: in a multi-process run each process evaluates a
+    # disjoint slice (otherwise every process would feed its FULL val batch
+    # into shard_batch as a "local shard", duplicating work P times);
+    # process-0 logs its shard's mean — an unbiased estimate of the
+    # global metric
+    val_loader = Loader(val_ds, cfg.batch_size, shuffle=False,
+                        shard_index=process_index(),
+                        num_shards=process_count())
 
     from hifidiff_tpu.cli.common import parse_ints
 

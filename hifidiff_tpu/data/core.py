@@ -111,9 +111,13 @@ class Loader:
             rng.shuffle(order)
         if self.num_shards > 1:
             per = self._shard_len()
-            pad = per * self.num_shards - n
-            if pad:  # wrap-pad like torch DistributedSampler
-                order = np.concatenate([order, order[:pad]])
+            # wrap-pad cyclically like torch DistributedSampler — np.resize
+            # repeats `order` as many times as needed, which matters when
+            # pad > n (tiny dataset, many shards): a single order[:pad]
+            # slice would underfill and leave shards with UNEQUAL batch
+            # counts, deadlocking collective programs on the missing
+            # batches
+            order = np.resize(order, per * self.num_shards)
             order = order[self.shard_index::self.num_shards]
         batches = [order[i:i + self.batch_size]
                    for i in range(0, len(order), self.batch_size)]

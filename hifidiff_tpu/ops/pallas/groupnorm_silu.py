@@ -49,27 +49,31 @@ def _gn_kernel(x_ref, w_ref, b_ref, mask_ref, o_ref, *, eps: float,
     mask_ref: (C, G) one-hot group membership."""
     mask = mask_ref[:].astype(jnp.float32)                 # (C, G)
     c = mask.shape[0]
-    csum = jnp.zeros((1, c), jnp.float32)
-    csq = jnp.zeros((1, c), jnp.float32)
-    for s in range(0, hw, chunk):
-        xc = x_ref[0, s:s + chunk, :].astype(jnp.float32)  # (chunk, C)
-        csum = csum + jnp.sum(xc, axis=0, keepdims=True)
-        csq = csq + jnp.sum(xc * xc, axis=0, keepdims=True)
     # HIGHEST precision: default MXU precision rounds the f32 row-sums
     # to bf16 inside these (tiny) stat matmuls, which shifts the group
     # means by ~1e-3 after 16K-row sums — exact f32 passes cost nothing
     hi = jax.lax.Precision.HIGHEST
-    gsum = jnp.dot(csum, mask, preferred_element_type=jnp.float32,
-                   precision=hi)
-    gsq = jnp.dot(csq, mask, preferred_element_type=jnp.float32,
-                  precision=hi)
     n = float(hw * csize)
-    gmean = gsum / n                                       # (1, G)
-    gvar = gsq / n - gmean * gmean
-    rstd = jax.lax.rsqrt(gvar + eps)
-    # broadcast back to channels through the transposed mask
+    # two-pass variance (E[(x - mu)^2], like nn.GroupNorm/_gn_silu_ref):
+    # the one-pass E[x^2] - mu^2 form cancels catastrophically for
+    # near-constant groups with large mean and can go NEGATIVE -> NaN
+    # through rsqrt
+    csum = jnp.zeros((1, c), jnp.float32)
+    for s in range(0, hw, chunk):
+        xc = x_ref[0, s:s + chunk, :].astype(jnp.float32)  # (chunk, C)
+        csum = csum + jnp.sum(xc, axis=0, keepdims=True)
+    gmean = jnp.dot(csum, mask, preferred_element_type=jnp.float32,
+                    precision=hi) / n                      # (1, G)
     mean_c = jnp.dot(gmean, mask.T, preferred_element_type=jnp.float32,
-                     precision=hi)
+                     precision=hi)                         # (1, C)
+    cvar = jnp.zeros((1, c), jnp.float32)
+    for s in range(0, hw, chunk):
+        xc = x_ref[0, s:s + chunk, :].astype(jnp.float32)
+        d = xc - mean_c
+        cvar = cvar + jnp.sum(d * d, axis=0, keepdims=True)
+    gvar = jnp.dot(cvar, mask, preferred_element_type=jnp.float32,
+                   precision=hi) / n
+    rstd = jax.lax.rsqrt(gvar + eps)
     rstd_c = jnp.dot(rstd, mask.T, preferred_element_type=jnp.float32,
                      precision=hi)
     w = w_ref[:].astype(jnp.float32)                       # (1, C)

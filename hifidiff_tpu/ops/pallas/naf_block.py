@@ -84,8 +84,9 @@ def _cnaf_kernel(vec_c_ref, vec_2c_ref, vec_dw_ref, x_ref,
     (1 for the mid blocks, 4 for the 2x2 enc3/dec0 stages — the depthwise
     3x3 conv becomes an (sp, sp) per-channel position mix, and SCA's
     global pool averages the sp rows of each sample).
-    vec_c_ref: (nblk, 12, C) f32; vec_2c_ref: (nblk, 6, 2C) f32;
-    vec_dw_ref: (nblk, sp*sp, 2C) f32 position-mix taps;
+    vec_c_ref: (nblk, 12, C) f32; vec_2c_ref: (nblk, 5, 2C) f32
+    [s1, b1, s4, b4, dw_bias]; vec_dw_ref: (nblk, sp*sp, 2C) f32
+    position-mix taps;
     w*_ref: stacked per-block weights in HBM (ANY), manually streamed."""
     i = pl.program_id(0)
     dt = x_ref.dtype

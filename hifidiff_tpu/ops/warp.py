@@ -165,7 +165,10 @@ _FAST_KWIN = 16
 
 def _warp_fast_impl(x: jax.Array, theta: jax.Array) -> jax.Array:
     n, h, w, c = x.shape
-    if h * w <= 1024:
+    # the dense-mask formulation materializes an (N, HW, HW) interpolation
+    # matrix — fine at 8/16 px (<= 4 MB) but ~268 MB at 32x32/batch 128;
+    # larger maps go through the row-windowed kernel
+    if h * w <= 256:
         return _warp_matmul_small(x, theta)
     from hifidiff_tpu.ops.pallas.warp import warp_rowwin_pallas
 
@@ -209,7 +212,7 @@ def _fast_allowed(x: jax.Array) -> bool:
     if x.ndim != 4 or x.shape[1] != x.shape[2]:
         return False
     h, w = x.shape[1], x.shape[2]
-    if h * w > 1024 and (w % 8 or h % 8):
+    if h * w > 256 and (w % 8 or h % 8):
         return False  # kernel path needs aligned dynamic row slices
     if os.environ.get("HIFIDIFF_FORCE_FAST_WARP"):
         return True  # tests: exercise matmul/interpret paths on CPU

@@ -113,18 +113,25 @@ def shard_batch(tree, mesh: Mesh):
     Multi-process (jax.process_count() > 1): each process passes its LOCAL
     shard (from a `Loader(shard_index=..., num_shards=...)`) and the global
     batch-sharded array is assembled via
-    `jax.make_array_from_process_local_data`. Local batches must divide the
-    process's local data-axis extent (use drop_last=True / per-shard
-    padding — the Loader's shard logic guarantees equal batch counts)."""
+    `jax.make_array_from_process_local_data`. The Loader's shard logic
+    guarantees every process sees the same batch sizes; a final ragged
+    batch (drop_last=False) is wrap-padded up to the local device multiple
+    — identically on every process — so collective programs never see a
+    shape mismatch (the padded rows repeat real samples, DistributedSampler
+    semantics)."""
     n_data = mesh.shape["data"]
     multiprocess = jax.process_count() > 1
+    local_extent = max(1, n_data // jax.process_count())
 
     def put(x):
         if multiprocess:
+            xa = np.asarray(x)
+            if xa.ndim >= 1 and xa.shape[0] % local_extent:
+                pad = -xa.shape[0] % local_extent
+                xa = np.concatenate([xa, xa[:pad]])
             sharding = NamedSharding(
-                mesh, P("data", *([None] * (np.ndim(x) - 1))))
-            return jax.make_array_from_process_local_data(
-                sharding, np.asarray(x))
+                mesh, P("data", *([None] * (xa.ndim - 1))))
+            return jax.make_array_from_process_local_data(sharding, xa)
         if np.ndim(x) >= 1 and np.shape(x)[0] % n_data == 0:
             return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
         return jax.device_put(x, replicated(mesh))

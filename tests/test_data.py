@@ -289,3 +289,25 @@ class TestLoaderSharding:
             raise AssertionError("expected ValueError")
         except ValueError:
             pass
+
+
+class TestLoaderShardPadding:
+    def test_tiny_dataset_many_shards_equal_batches(self):
+        """Wrap-pad must cycle when pad > len(dataset): every shard gets
+        the SAME number of batches or multi-process collectives deadlock
+        (code-review r2 finding)."""
+        from hifidiff_tpu.data.core import Dataset, Loader
+
+        class Tiny(Dataset):
+            def __len__(self):
+                return 3
+
+            def __getitem__(self, i):
+                return {"x": np.full((2,), i, np.float32)}
+
+        counts = []
+        for shard in range(8):
+            loader = Loader(Tiny(), batch_size=1, shuffle=False,
+                            num_threads=1, shard_index=shard, num_shards=8)
+            counts.append(sum(1 for _ in loader))
+        assert len(set(counts)) == 1 and counts[0] == 1, counts

@@ -256,3 +256,24 @@ class TestFusedCNafBlock:
         assert float(jnp.abs(ref - x).max()) > 0.1  # non-vacuous
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=1e-5)
+
+
+class TestGroupNormStability:
+    def test_near_constant_large_mean_group_no_nan(self):
+        """One-pass E[x^2]-mu^2 cancels catastrophically for near-constant
+        groups with large mean (code-review r2 finding); the kernel must
+        use the two-pass form."""
+        from hifidiff_tpu.ops.norm import _gn_silu_ref
+        from hifidiff_tpu.ops.pallas.groupnorm_silu import (
+            group_norm_silu_pallas,
+        )
+
+        x = 50.0 + 1e-3 * jnp.asarray(
+            RNG.standard_normal((1, 32, 32, 128), dtype=np.float32))
+        s = jnp.ones((128,))
+        b = jnp.zeros((128,))
+        out = group_norm_silu_pallas(x, s, b)
+        assert bool(jnp.isfinite(out).all())
+        ref = _gn_silu_ref(x, s, b, 32, 1e-6)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-2, rtol=1e-2)
