@@ -77,9 +77,11 @@ def child_main(process_id: int, num_processes: int,
     vae_params = vae.init(key, jnp.zeros((1, res, res, 3)))["params"]
     state = TrainState.create(dn_params, adamw_cosine(total_steps=4))
 
-    # per-process Loader shard of the same seeded global shuffle
-    ds = SyntheticFaceDataset(16, res, keys=("image",))
-    # global batch (local * num_processes) must divide the device count
+    # per-process Loader shard of the same seeded global shuffle. 14
+    # samples over 2 shards -> 7 per shard -> batches [4, 3]: the final
+    # RAGGED batch exercises shard_batch's wrap-padding to the local
+    # device multiple (drop_last=False path)
+    ds = SyntheticFaceDataset(14, res, keys=("image",))
     local_batch = devices_per_process
     loader = Loader(ds, local_batch, shuffle=True, seed=0,
                     shard_index=process_index(), num_shards=num_processes)
