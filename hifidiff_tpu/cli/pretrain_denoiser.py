@@ -66,6 +66,8 @@ class Config:
     vae_blocks: str = "128,256,512,512"
     vae_layers: int = 2
     remat: bool = False   # jax.checkpoint the UNet blocks (saves HBM)
+    ema_decay: float = 0.0  # >0 keeps an EMA of the params (e.g. 0.9999)
+    # for sampling/eval — standard diffusion practice the reference omits
     seed: int = 0
     synthetic: int = 0
     save_model_epoch: int = 10
@@ -123,7 +125,8 @@ def main(argv=None) -> None:
     total_steps = len(train_loader) * cfg.num_epochs
     tx = adamw_cosine(cfg.lr, cfg.warmup_steps, total_steps,
                       accumulate_steps=cfg.accum_steps)
-    state = TrainState.create(dn_params, tx)
+    state = TrainState.create(dn_params, tx,
+                              ema_decay=cfg.ema_decay)
 
     ckpt = CheckpointManager(os.path.join(cfg.ckpt_dir, cfg.name))
     start_epoch = 0
@@ -164,7 +167,7 @@ def main(argv=None) -> None:
             if is_main_process():  # state is replicated; process-0 writes
                 ckpt.save(step, jax.device_get(state), wait=True)
         if epoch % cfg.save_image_epoch == 0 or epoch == cfg.num_epochs - 1:
-            grid = sampler(state.params, vae_params,
+            grid = sampler(state.eval_params, vae_params,
                            jax.random.fold_in(key, 10_000 + epoch))
             if is_main_process():
                 save_image_grid(np.asarray(grid),

@@ -81,6 +81,7 @@ class Config:
     vae_blocks: str = "128,256,512,512"
     vae_layers: int = 2
     remat: bool = False   # jax.checkpoint the UNet blocks (saves HBM)
+    ema_decay: float = 0.0  # >0: EMA of trainable params for val sampling
     seed: int = 0
     synthetic: int = 0
     save_epoch: int = 5
@@ -166,7 +167,8 @@ def main(argv=None) -> None:
     tx = masked(adamw_cosine(cfg.lr, cfg.warmup_steps, total_steps,
                              accumulate_steps=cfg.accum_steps), mask)
     state = TrainState.create(variables["params"], tx,
-                              batch_stats=variables.get("batch_stats", {}))
+                              batch_stats=variables.get("batch_stats", {}),
+                              ema_decay=cfg.ema_decay)
 
     ckpt = CheckpointManager(os.path.join(cfg.ckpt_dir, cfg.name))
     start_epoch = 0
@@ -206,7 +208,7 @@ def main(argv=None) -> None:
         psnrs, ssims = [], []
         for i, batch in enumerate(val_loader):
             sample_vars = {
-                "refiner": {"params": state.params,
+                "refiner": {"params": state.eval_params,
                             "batch_stats": state.batch_stats},
                 "cr": frozen["cr"], "vae": frozen["vae"],
             }

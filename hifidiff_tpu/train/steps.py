@@ -38,19 +38,41 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    # exponential moving average of params (beyond-reference: standard
+    # diffusion-training practice the PyTorch repo omits). None = off;
+    # enabled via `create(..., ema_decay=0.9999)`. Rides in the state
+    # pytree, so orbax checkpoints/resume carry it automatically.
+    ema_params: Any = None
+    ema_decay: float = flax.struct.field(pytree_node=False, default=0.0)
 
     @classmethod
-    def create(cls, params, tx, batch_stats=None):
+    def create(cls, params, tx, batch_stats=None, ema_decay: float = 0.0):
         return cls(step=jnp.zeros((), jnp.int32), params=params,
                    batch_stats=batch_stats or {},
-                   opt_state=tx.init(params), tx=tx)
+                   opt_state=tx.init(params), tx=tx,
+                   ema_params=(jax.tree_util.tree_map(jnp.copy, params)
+                               if ema_decay else None),
+                   ema_decay=float(ema_decay))
+
+    @property
+    def eval_params(self):
+        """EMA params when enabled, else the live params."""
+        return self.ema_params if self.ema_params is not None else self.params
 
     def apply_gradients(self, grads, new_batch_stats=None):
         updates, opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        ema = self.ema_params
+        if ema is not None:
+            d = self.ema_decay
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                ema, new_params)
         return self.replace(
             step=self.step + 1,
-            params=optax.apply_updates(self.params, updates),
+            params=new_params,
             opt_state=opt_state,
+            ema_params=ema,
             batch_stats=(new_batch_stats if new_batch_stats is not None
                          else self.batch_stats),
         )

@@ -182,3 +182,34 @@ class TestDataParallelStep:
             lambda a, b: float(jnp.abs(a - jnp.asarray(b)).max()),
             new_state.params, params_before)
         assert max(jax.tree_util.tree_leaves(delta)) > 0.0
+
+
+class TestEMA:
+    def test_ema_tracks_params(self):
+        import optax
+
+        from hifidiff_tpu.train.steps import TrainState
+
+        params = {"w": jnp.zeros((4,))}
+        tx = optax.sgd(1.0)
+        state = TrainState.create(params, tx, ema_decay=0.5)
+        grads = {"w": -jnp.ones((4,))}          # params -> 1, 2, 3 ...
+        state = state.apply_gradients(grads)
+        np.testing.assert_allclose(np.asarray(state.params["w"]), 1.0)
+        np.testing.assert_allclose(np.asarray(state.ema_params["w"]),
+                                   0.5)     # 0*0.5 + 1*0.5
+        state = state.apply_gradients(grads)
+        np.testing.assert_allclose(np.asarray(state.ema_params["w"]),
+                                   1.25)    # 0.5*0.5 + 2*0.5
+        assert state.eval_params is state.ema_params
+
+    def test_ema_off_by_default(self):
+        import optax
+
+        from hifidiff_tpu.train.steps import TrainState
+
+        state = TrainState.create({"w": jnp.ones((2,))}, optax.sgd(0.1))
+        assert state.ema_params is None
+        state = state.apply_gradients({"w": jnp.ones((2,))})
+        assert state.ema_params is None
+        assert state.eval_params is state.params
