@@ -150,12 +150,20 @@ def main(argv=None) -> None:
                                         load_torch_file(cfg.lpips_ckpt))
         lpips_fn = jax.jit(lambda a, b: lpips_distance(vgg_p, lins, a, b))
 
+    # shard eval batches over all local devices (VERDICT r2 item 6): an
+    # 8-chip run evaluates 8x faster; params replicated, batch on "data"
+    from hifidiff_tpu.parallel import make_mesh, replicated, shard_batch
+
+    mesh = make_mesh()
+    sample_vars = jax.device_put(sample_vars, replicated(mesh))
+
     psnrs, ssims, niqes, lpipss = [], [], [], []
     for i, batch in enumerate(loader):
-        pred = sampler(sample_vars, jnp.asarray(batch["lr"]),
+        batch = shard_batch(batch, mesh)
+        pred = sampler(sample_vars, batch["lr"],
                        jax.random.fold_in(key, i))
         pred_n = min_max_normalize(pred)
-        gt_n = min_max_normalize(jnp.asarray(batch["gt"]))
+        gt_n = min_max_normalize(batch["gt"])
         psnrs.append(float(psnr(pred_n, gt_n)))
         ssims.append(float(ssim(pred_n, gt_n)))
         if lpips_fn is not None:

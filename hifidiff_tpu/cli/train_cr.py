@@ -164,14 +164,19 @@ def main(argv=None) -> None:
             timer.tick()
             logger.log({"train_loss": metrics["loss"],
                         "step_time": timer.mean, "epoch": epoch}, step)
-            if cfg.dump_every and i % cfg.dump_every == 0 \
-                    and is_main_process():
+            if cfg.dump_every and i % cfg.dump_every == 0:
+                # eval_step runs on EVERY process: `batch` is a global
+                # sharded array, so the jitted program must be entered by
+                # all processes (process 0 alone would deadlock the rest
+                # at the collective). Only the file write is gated.
                 pred, _ = eval_step(state.params, batch)
-                save_image_grid(
-                    side_by_side(local_shard(batch["lr"]), local_shard(pred),
-                                 local_shard(batch["gt"])),
-                    os.path.join(cfg.out_dir, cfg.name,
-                                 f"train_e{epoch}_b{i}.png"))
+                if is_main_process():
+                    save_image_grid(
+                        side_by_side(local_shard(batch["lr"]),
+                                     local_shard(pred),
+                                     local_shard(batch["gt"])),
+                        os.path.join(cfg.out_dir, cfg.name,
+                                     f"train_e{epoch}_b{i}.png"))
             step += 1
 
         val_losses = []

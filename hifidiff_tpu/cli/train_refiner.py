@@ -114,11 +114,10 @@ def main(argv=None) -> None:
     train_loader = Loader(train_ds, cfg.batch_size, shuffle=True,
                           seed=cfg.seed, shard_index=process_index(),
                           num_shards=process_count())
-    # val is sharded too: in a multi-process run each process evaluates a
-    # disjoint slice (otherwise every process would feed its FULL val batch
-    # into shard_batch as a "local shard", duplicating work P times);
-    # process-0 logs its shard's mean — an unbiased estimate of the
-    # global metric
+    # val is sharded too: each process loads a disjoint slice and the
+    # slices are assembled into one global batch-sharded array per step
+    # (shard_batch below), so metrics are computed over the full val batch
+    # on every process
     val_loader = Loader(val_ds, cfg.batch_size, shuffle=False,
                         shard_index=process_index(),
                         num_shards=process_count())
@@ -187,6 +186,13 @@ def main(argv=None) -> None:
         RefinerPipelineConfig(num_inference_steps=cfg.num_inference_steps,
                               latent_size=latent))
 
+    @jax.jit
+    def val_metrics(pred, gt):
+        # min-max-normalize convention of `test_refiner.py:113-119`
+        pred_n = min_max_normalize(pred)
+        gt_n = min_max_normalize(gt)
+        return {"psnr": psnr(pred_n, gt_n), "ssim": ssim(pred_n, gt_n)}
+
     logger = MetricsLogger("logs", "hifi_refiner", cfg.name,
                            use_wandb=cfg.use_wandb)
     timer = StepTimer()
@@ -204,21 +210,26 @@ def main(argv=None) -> None:
                         "step_time": timer.mean, "epoch": epoch}, step)
             step += 1
 
-        # validation: full DDIM sampling + metrics (train_refiner.py:212-299)
+        # validation: full DDIM sampling + metrics (train_refiner.py:212-299).
+        # The val batch is sharded over the SAME mesh as training, so an
+        # 8-chip run validates 8x faster and a multi-process run is a valid
+        # program (global params + global batch; every process enters the
+        # jitted sampler — mixing replicated global params with per-process
+        # host-local inputs is not a valid multi-controller program).
         psnrs, ssims = [], []
         for i, batch in enumerate(val_loader):
+            batch = shard_batch(batch, mesh)
             sample_vars = {
                 "refiner": {"params": state.eval_params,
                             "batch_stats": state.batch_stats},
                 "cr": frozen["cr"], "vae": frozen["vae"],
             }
-            pred = sampler(sample_vars, local_shard(batch["lr"]),
+            pred = sampler(sample_vars, batch["lr"],
                            jax.random.fold_in(key, 50_000 + i))
-            pred_n = min_max_normalize(pred)
-            gt_n = min_max_normalize(local_shard(batch["gt"]))
-            psnrs.append(float(psnr(pred_n, gt_n)))
-            ssims.append(float(ssim(pred_n, gt_n)))
-            if i == 0:
+            m = val_metrics(pred, batch["gt"])
+            psnrs.append(float(m["psnr"]))
+            ssims.append(float(m["ssim"]))
+            if i == 0 and is_main_process():
                 save_image_grid(
                     side_by_side(local_shard(batch["lr"]), local_shard(pred),
                                  local_shard(batch["gt"])),

@@ -243,7 +243,12 @@ class FusedDenoiser(_UNetCore):
                         name="time_mlp")(timesteps)
             films_all = self.compute_films(t)
             ch = self.width * 2 ** len(self.enc_nums)
-            bh = bw = self.latent_size // 2 ** len(self.enc_nums)
+            # bottleneck spatial size from the RUNTIME priors (priors[0] is
+            # fused with the bottleneck, so it always has its spatial dims)
+            # rather than from self.latent_size config — a sampler invoked
+            # with differently-sized latents would otherwise build a
+            # wrong-sized idc injection (ADVICE r2 low)
+            bh, bw = facial_priors[0].shape[1], facial_priors[0].shape[2]
             b = identity_embedding.shape[0]
             idc = TorchDense(ch * bh * bw, w8=self.w8, dtype=self.dtype,
                              name="idc_proj")(identity_embedding)

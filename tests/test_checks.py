@@ -2,6 +2,7 @@
 verification, purity. Applied to the real train step so regressions in the
 framework's own jit hygiene fail loudly."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -15,6 +16,7 @@ from hifidiff_tpu.utils.checks import (
 
 
 class TestRetraceCounter:
+    @pytest.mark.smoke
     def test_steady_state_traces_once(self):
         counter = RetraceCounter(lambda x: x * 2)
         f = jax.jit(counter)

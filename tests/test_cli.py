@@ -28,6 +28,7 @@ class TestCommon:
         # deterministic per index
         np.testing.assert_allclose(ds[1]["lr"], ds[1]["lr"])
 
+    @pytest.mark.smoke
     def test_loader_batching_and_order(self):
         ds = SyntheticFaceDataset(10, 8, keys=("lr",))
         loader = Loader(ds, 4, shuffle=False)

@@ -2,6 +2,7 @@
 FacialRefiner variables through `compose_refiner_params`, verified against
 the torch oracles (mini reference wiring from test_models)."""
 
+import pytest
 import numpy as np
 import torch
 
@@ -23,6 +24,7 @@ RNG = np.random.default_rng(17)
 
 
 class TestComposeRefiner:
+    @pytest.mark.smoke
     def test_compose_from_torch_state_dicts(self, tmp_path):
         torch.manual_seed(3)
         fused = MiniTorchFusedDenoiser(latent=8).eval()

@@ -1,6 +1,7 @@
 """Dataset semantics tests over synthetic on-disk fixture trees mimicking
 the K-Face / Multi-PIE layouts (`dataset_kface.py`, `dataset_multipie.py`)."""
 
+import pytest
 import os
 
 import numpy as np
@@ -194,6 +195,7 @@ class TestCelebAHQ:
 
 
 class TestDegradations:
+    @pytest.mark.smoke
     def test_iso_kernel_symmetric(self):
         k = bivariate_gaussian_kernel(9, 0.5, 0.5, 0.0)
         assert abs(k.sum() - 1.0) < 1e-6
@@ -220,6 +222,7 @@ class TestLoaderSharding:
 
         return SyntheticFaceDataset(n, 8, keys=("idx_marker",))
 
+    @pytest.mark.smoke
     def test_shards_cover_disjointly(self):
         from hifidiff_tpu.data import Loader
 

@@ -2,6 +2,7 @@
 replacement for race detection — deterministic PRNG threading makes
 bit-reproducibility testable)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -81,6 +82,7 @@ class TestSamplerDeterminism:
 
 
 class TestLoaderRobustness:
+    @pytest.mark.smoke
     def test_worker_exception_propagates(self):
         from hifidiff_tpu.data import Loader
         from hifidiff_tpu.data.core import Dataset

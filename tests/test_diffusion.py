@@ -1,6 +1,7 @@
 """Schedule/sampler tests: closed-form constants, round-trip invariants,
 and jit/scan compilation (SURVEY.md §4 test plan, item c)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -15,6 +16,7 @@ from hifidiff_tpu.diffusion import (
 
 
 class TestSchedule:
+    @pytest.mark.smoke
     def test_scaled_linear_constants(self):
         s = DiffusionSchedule.create()
         betas = np.asarray(s.betas)
@@ -47,6 +49,7 @@ class TestDDIM:
         assert ts[0] == 980 and ts[-1] == 0
         assert np.all(np.diff(ts) == -20)
 
+    @pytest.mark.smoke
     def test_perfect_eps_recovers_x0(self):
         """If the model predicts the exact epsilon of the trajectory, eta=0
         DDIM returns x0 to numerical precision (samples stay on the

@@ -1,5 +1,6 @@
 """Eval metric + checkpoint tests."""
 
+import pytest
 import os
 
 import numpy as np
@@ -23,6 +24,7 @@ RNG = np.random.default_rng(11)
 
 
 class TestMetrics:
+    @pytest.mark.smoke
     def test_psnr_known_value(self):
         x = jnp.zeros((1, 8, 8, 3))
         y = jnp.full((1, 8, 8, 3), 0.1)

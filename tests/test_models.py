@@ -83,6 +83,7 @@ def assert_close(jax_out, torch_out, atol=1e-4):
 
 
 class TestNAFBlock:
+    @pytest.mark.smoke
     def test_parity(self):
         c = 32
         tm = TorchNAFBlock(c).eval()

@@ -51,6 +51,7 @@ class TestNativeFilterAndNoise:
         assert abs(float(np.std(a - img)) - 0.02) < 0.003
         assert float(a.min()) >= 0.0 and float(a.max()) <= 1.0
 
+    @pytest.mark.smoke
     def test_quantize8(self):
         img = RNG.uniform(0, 1, (8, 8, 3)).astype(np.float32)
         np.testing.assert_allclose(

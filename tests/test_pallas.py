@@ -1,6 +1,7 @@
 """Pallas kernel parity tests (interpreter mode on CPU; the same code
 compiles via Mosaic on TPU)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -28,6 +29,7 @@ def make_inputs(bsz=2, h=4, w=4, c=128):
 
 
 class TestLnFilmPallas:
+    @pytest.mark.smoke
     def test_forward_parity(self):
         x, w, b, s, t = make_inputs()
         out = ln_film_pallas(x, w, b, s, t)

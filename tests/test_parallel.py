@@ -1,5 +1,6 @@
 """Mesh utility tests (8 virtual CPU devices via conftest)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -17,6 +18,7 @@ RNG = np.random.default_rng(31)
 
 
 class TestMesh:
+    @pytest.mark.smoke
     def test_make_mesh_shapes(self):
         mesh = make_mesh(8)
         assert mesh.shape == {"data": 8}

@@ -1,6 +1,7 @@
 """End-to-end sampler tests: fused vs split execution must be numerically
 identical (same PRNG stream, same math), on tiny model configs."""
 
+import pytest
 import numpy as np
 
 import jax

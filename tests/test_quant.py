@@ -1,6 +1,7 @@
 """w8 int8 inference-path tests: converter structure + numeric drift
 bounds vs the f32 path."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -17,6 +18,7 @@ RNG = np.random.default_rng(23)
 
 
 class TestQuantPrimitives:
+    @pytest.mark.smoke
     def test_weight_quantization_roundtrip(self):
         w = jnp.asarray(RNG.standard_normal((64, 32), dtype=np.float32))
         q, s = quantize_weight_per_cout(w)

@@ -23,6 +23,7 @@ eps function (and, for DDPM, the same PRNG noise sequence replayed into
 the oracle) and require agreement to float32 precision.
 """
 
+import pytest
 import numpy as np
 
 import jax
@@ -116,6 +117,7 @@ class TestDDIMGolden:
         np.testing.assert_allclose(np.asarray(ours), golden, atol=2e-4,
                                    rtol=1e-4)
 
+    @pytest.mark.smoke
     def test_ddim50_matches_diffusers_semantics(self):
         self._run(50)
 

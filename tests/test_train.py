@@ -1,6 +1,7 @@
 """Training-layer tests: loss parity vs torch oracles, freeze masks, and a
 data-parallel train step on the 8-device CPU mesh (SURVEY.md §4 item d)."""
 
+import pytest
 import sys
 
 import numpy as np
@@ -78,6 +79,7 @@ class TestLossParity:
                                          jnp.asarray(n)))
         np.testing.assert_allclose(ours, ref, rtol=1e-5)
 
+    @pytest.mark.smoke
     def test_smooth_l1_vs_torch(self):
         x = RNG.standard_normal((2, 8, 8, 3), dtype=np.float32) * 2
         y = RNG.standard_normal((2, 8, 8, 3), dtype=np.float32)

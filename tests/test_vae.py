@@ -7,6 +7,7 @@ diffusers checkpoint naming, so `vae_params_from_torch` is exercised
 end-to-end without the diffusers package.
 """
 
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -104,6 +105,7 @@ class TestAttnBlockParity:
 
 
 class TestAutoencoderShapes:
+    @pytest.mark.smoke
     def test_encode_decode_roundtrip_shapes(self):
         vae = AutoencoderKL(block_out=(32, 64), layers_per_block=1)
         key = jax.random.PRNGKey(0)

@@ -40,6 +40,7 @@ def make_torch_vgg_trunk():
 
 
 class TestVGG19Oracle:
+    @pytest.mark.smoke
     def test_parity_with_torch_oracle(self):
         tv = make_torch_vgg_trunk().eval()
         sd = {f"features.{k}": v.detach().numpy()
