@@ -49,6 +49,57 @@ def parse_ints(s: str) -> tuple:
     return tuple(int(x) for x in str(s).split(",") if x.strip())
 
 
+def load_vae_params(vae, vae_ckpt: str, key, size: int):
+    """Resolve frozen-VAE params for stages 3-5: a torch SD-2.1 checkpoint
+    (`pretrain_denoiser.py:256-259`), an orbax dir from our own
+    `train_vae` stage-0 fit, or (with a warning) a fresh random init."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    if vae_ckpt and os.path.isdir(vae_ckpt):
+        from hifidiff_tpu.train.checkpoint import CheckpointManager
+
+        params = CheckpointManager(vae_ckpt).restore()["state"]["params"]
+        print(f"loaded VAE weights from orbax dir {vae_ckpt}")
+        return params
+    if vae_ckpt:
+        from hifidiff_tpu.utils.torch_import import load_torch_file
+        from hifidiff_tpu.vae import vae_params_from_torch
+
+        params = vae_params_from_torch(load_torch_file(vae_ckpt))
+        print(f"loaded VAE weights from {vae_ckpt}")
+        return params
+    print("[warn] no --vae-ckpt: frozen VAE is randomly initialized")
+    return jax.jit(vae.init)(key,
+                             jnp.zeros((1, size, size, 3)))["params"]
+
+
+def smoke_datasets(cfg, keys, val_keys=None):
+    """Train/val datasets for the two no-real-data modes every stage CLI
+    supports: `--synthetic N` (random tensors — shape smoke only) and
+    `--procedural N` (deterministic learnable face family,
+    `data/procedural.py` — real training signal for the end-to-end
+    convergence demo). Val uses the same identities at never-trained
+    poses (`start=10_000`). Returns None when neither flag is set."""
+    if getattr(cfg, "procedural", 0):
+        from hifidiff_tpu.data.procedural import ProceduralFaceDataset
+
+        n_val = max(4, cfg.procedural // 4)
+        return (ProceduralFaceDataset(cfg.procedural, cfg.size, keys=keys,
+                                      seed=cfg.seed),
+                ProceduralFaceDataset(n_val, cfg.size,
+                                      keys=val_keys or keys,
+                                      seed=cfg.seed, start=10_000))
+    if cfg.synthetic:
+        mk = lambda n, k: SyntheticFaceDataset(  # noqa: E731
+            n, cfg.size, keys=k, seed=cfg.seed)
+        return (mk(cfg.synthetic, keys),
+                mk(max(4, cfg.synthetic // 4), val_keys or keys))
+    return None
+
+
 class SyntheticFaceDataset(Dataset):
     """Random face-shaped samples for smoke runs. Keys configurable to
     mimic each real dataset's sample dict."""

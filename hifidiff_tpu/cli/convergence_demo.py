@@ -1,0 +1,236 @@
+"""End-to-end training-convergence demo: every reference training stage,
+chained through the real CLIs and the real checkpoint hand-off, on the
+deterministic learnable procedural-face family (`data/procedural.py`).
+
+One command proves the framework *trains*, not just compiles:
+
+    python -m hifidiff_tpu.cli.convergence_demo --out-dir runs/convergence
+
+runs, in order (reference anchors in parentheses):
+  0. `train_vae`          — beyond-reference stage-0 VAE fit (the reference
+                            downloads a pretrained SD-2.1 VAE instead,
+                            `pretrain_denoiser.py:256-259`)
+  1. `train_cr`           (`train_cr.py:56-137`)
+  2. `pretrain_idc`       (`pretrain_idc.py:13-78`), frozen stage-1 CR
+  3. `pretrain_denoiser`  (`pretrain_denoiser.py:123-227`), frozen VAE
+  4. `train_refiner`      (`train_refiner.py:128-299`) with the stage-1/2/3
+                          orbax checkpoints composed via
+                          `compose_refiner_params` — run in TWO halves with
+                          a `--resume` restart in between, exercising
+                          mid-run checkpoint recovery in the real flow
+  5. `test_refiner` twice — random-init weights vs the trained stack —
+                          and asserts the trained sampler wins by a margin.
+
+Each stage's JSONL metrics (MetricsLogger) are harvested and summarized
+into `<out_dir>/convergence.json`; `--check` (default) asserts material
+loss drops per stage. Tiny-but-real configs: real model families, real
+losses, real samplers — just narrow widths/depths at 32 px so the whole
+chain runs in minutes on one chip (or the CPU test mesh)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+from hifidiff_tpu.cli.common import parse_config
+
+
+@dataclasses.dataclass
+class Config:
+    out_dir: str = "runs/convergence"
+    log_dir: str = "logs"       # MetricsLogger root used by the stage CLIs
+    n: int = 64                 # procedural training samples
+    size: int = 32
+    batch_size: int = 8
+    epochs_vae: int = 80
+    epochs_cr: int = 40
+    epochs_idc: int = 15
+    epochs_dn: int = 60
+    epochs_refiner: int = 24
+    seed: int = 0
+    check: bool = True          # assert convergence criteria
+    name: str = "convdemo"
+
+
+def _read_jsonl_since(path: str, offset: int):
+    if not os.path.exists(path):
+        return [], offset
+    with open(path) as f:
+        f.seek(offset)
+        rows = [json.loads(ln) for ln in f if ln.strip()]
+        return rows, f.tell()
+
+
+def _series(rows, field):
+    return [r[field] for r in rows if field in r]
+
+
+def main(argv=None) -> dict:
+    cfg = parse_config(Config, argv, "End-to-end convergence demo")
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    ck = lambda s: os.path.join(cfg.out_dir, "ckpt", s)  # noqa: E731
+    out = lambda s: os.path.join(cfg.out_dir, "img", s)  # noqa: E731
+    # shared tiny-but-real architecture flags
+    latent_flags = ["--vae-blocks", "32,32", "--vae-layers", "1"]
+    unet_flags = ["--width", "32", "--enc-depths", "1,1", "--mid-depth", "1"]
+    common = ["--procedural", str(cfg.n), "--size", str(cfg.size),
+              "--batch-size", str(cfg.batch_size), "--seed", str(cfg.seed),
+              "--name", cfg.name]
+
+    summary = {}
+    offsets = {}
+
+    def harvest(project):
+        path = os.path.join(cfg.log_dir, f"{project}.{cfg.name}.jsonl")
+        rows, offsets[project] = _read_jsonl_since(path,
+                                                   offsets.get(project, 0))
+        return rows
+
+    def prime(project):
+        path = os.path.join(cfg.log_dir, f"{project}.{cfg.name}.jsonl")
+        offsets[project] = (os.path.getsize(path)
+                            if os.path.exists(path) else 0)
+
+    # ---- stage 0: VAE --------------------------------------------------
+    from hifidiff_tpu.cli import train_vae
+
+    print("=== stage 0: train_vae ===", flush=True)
+    prime("hifi_vae")
+    train_vae.main(common + latent_flags + [
+        "--num-epochs", str(cfg.epochs_vae), "--lr", "1e-3",
+        "--warmup-steps", "10", "--ckpt-dir", ck("vae"),
+        "--out-dir", out("vae"), "--save-model-epoch", "10",
+        "--save-image-epoch", "10"])
+    rows = harvest("hifi_vae")
+    vp = _series(rows, "val_psnr")
+    summary["vae"] = {"val_psnr_first": vp[0], "val_psnr_final": vp[-1],
+                      "train_loss_first": _series(rows, "train_loss")[0],
+                      "train_loss_final": _series(rows, "train_loss")[-1]}
+    print(f"[vae] val_psnr {vp[0]:.2f} -> {vp[-1]:.2f} dB", flush=True)
+
+    # ---- stage 1: CR ---------------------------------------------------
+    from hifidiff_tpu.cli import train_cr
+
+    print("=== stage 1: train_cr ===", flush=True)
+    prime("hifi_cr")
+    train_cr.main(common + unet_flags + [
+        "--num-epochs", str(cfg.epochs_cr), "--ckpt-dir", ck("cr"),
+        "--out-dir", out("cr"), "--dump-every", "0", "--save-epoch", "10"])
+    rows = harvest("hifi_cr")
+    tl, vl = _series(rows, "train_loss"), _series(rows, "val_loss")
+    summary["cr"] = {"train_loss_first": tl[0], "train_loss_final": tl[-1],
+                     "val_loss_first": vl[0], "val_loss_final": vl[-1]}
+    print(f"[cr] train {tl[0]:.4f} -> {tl[-1]:.4f}, "
+          f"val {vl[0]:.4f} -> {vl[-1]:.4f}", flush=True)
+
+    # ---- stage 2: IDC --------------------------------------------------
+    from hifidiff_tpu.cli import pretrain_idc
+
+    print("=== stage 2: pretrain_idc ===", flush=True)
+    prime("hifi_idc")
+    pretrain_idc.main(common + [
+        "--num-epochs", str(cfg.epochs_idc), "--cr-ckpt", ck("cr/" + cfg.name),
+        "--cr-width", "32", "--cr-enc-depths", "1,1", "--cr-mid-depth", "1",
+        "--idc-stages", "1,1,1,1", "--ckpt-dir", ck("idc"),
+        "--save-epoch", "5"])
+    rows = harvest("hifi_idc")
+    tl = _series(rows, "train_loss")
+    summary["idc"] = {"train_loss_first": tl[0], "train_loss_final": tl[-1]}
+    print(f"[idc] train {tl[0]:.4f} -> {tl[-1]:.4f}", flush=True)
+
+    # ---- stage 3: denoiser --------------------------------------------
+    from hifidiff_tpu.cli import pretrain_denoiser
+
+    print("=== stage 3: pretrain_denoiser ===", flush=True)
+    prime("hifi_denoiser")
+    pretrain_denoiser.main(common + latent_flags + unet_flags + [
+        "--dec-depths", "1,1", "--num-epochs", str(cfg.epochs_dn),
+        "--lr", "5e-4", "--warmup-steps", "20",
+        "--vae-ckpt", ck("vae/" + cfg.name),
+        "--ckpt-dir", ck("dn"), "--out-dir", out("dn"),
+        "--sample-size", "4", "--save-model-epoch", "20",
+        "--save-image-epoch", "20"])
+    rows = harvest("hifi_denoiser")
+    tl = _series(rows, "avg_train_loss")
+    summary["denoiser"] = {"train_loss_first": tl[0],
+                           "train_loss_final": tl[-1]}
+    print(f"[denoiser] avg train {tl[0]:.4f} -> {tl[-1]:.4f}", flush=True)
+
+    # ---- stage 4: refiner (two halves + --resume) ----------------------
+    from hifidiff_tpu.cli import train_refiner
+
+    print("=== stage 4: train_refiner (half 1) ===", flush=True)
+    prime("hifi_refiner")
+    half = max(1, cfg.epochs_refiner // 2)
+    ref_flags = common + latent_flags + unet_flags + [
+        "--dec-depths", "1,1", "--idc-stages", "1,1,1,1",
+        "--cr-width", "32", "--cr-enc-depths", "1,1", "--cr-mid-depth", "1",
+        "--lr", "2e-4", "--warmup-steps", "20",
+        "--vae-ckpt", ck("vae/" + cfg.name), "--cr-ckpt", ck("cr/" + cfg.name),
+        "--idc-ckpt", ck("idc/" + cfg.name),
+        "--denoiser-ckpt", ck("dn/" + cfg.name),
+        "--ckpt-dir", ck("refiner"), "--out-dir", out("refiner"),
+        "--save-epoch", "5"]
+    train_refiner.main(ref_flags + ["--num-epochs", str(half)])
+    print("=== stage 4: train_refiner (resume, half 2) ===", flush=True)
+    train_refiner.main(ref_flags + ["--num-epochs", str(cfg.epochs_refiner),
+                                    "--resume", "1"])
+    rows = harvest("hifi_refiner")
+    tl, vp = _series(rows, "train_loss"), _series(rows, "val_psnr")
+    summary["refiner"] = {"train_loss_first": tl[0],
+                          "train_loss_final": tl[-1],
+                          "val_psnr_first": vp[0], "val_psnr_final": vp[-1],
+                          "resume_epochs": [half, cfg.epochs_refiner]}
+    print(f"[refiner] train {tl[0]:.4f} -> {tl[-1]:.4f}, "
+          f"val_psnr {vp[0]:.2f} -> {vp[-1]:.2f} dB", flush=True)
+
+    # ---- stage 5: trained stack vs random-init sampler -----------------
+    from hifidiff_tpu.cli import test_refiner
+
+    print("=== stage 5: test_refiner random vs trained ===", flush=True)
+    eval_flags = ["--procedural", str(cfg.n), "--size", str(cfg.size),
+                  "--batch-size", str(cfg.batch_size),
+                  "--seed", str(cfg.seed)] + latent_flags + unet_flags + [
+        "--dec-depths", "1,1", "--idc-stages", "1,1,1,1",
+        "--cr-width", "32", "--cr-enc-depths", "1,1", "--cr-mid-depth", "1",
+        "--grid-every", "0"]
+    rand = test_refiner.main(eval_flags + ["--out-dir", out("eval_random")])
+    trained = test_refiner.main(eval_flags + [
+        "--refiner-ckpt", ck("refiner/" + cfg.name),
+        "--cr-ckpt", ck("cr/" + cfg.name),
+        "--vae-ckpt", ck("vae/" + cfg.name),
+        "--out-dir", out("eval_trained")])
+    summary["eval"] = {"random_init": rand, "trained": trained}
+    print(f"[eval] PSNR random {rand['psnr']:.2f} dB vs "
+          f"trained {trained['psnr']:.2f} dB", flush=True)
+
+    with open(os.path.join(cfg.out_dir, "convergence.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+
+    if cfg.check:
+        s = summary
+        assert s["vae"]["val_psnr_final"] > s["vae"]["val_psnr_first"] + 3, \
+            "VAE recon PSNR did not improve materially"
+        assert s["vae"]["val_psnr_final"] > 25, "VAE recon PSNR too low"
+        assert s["cr"]["train_loss_final"] < s["cr"]["train_loss_first"] / 3,\
+            "CR train loss did not drop 3x"
+        assert s["cr"]["val_loss_final"] < s["cr"]["val_loss_first"], \
+            "CR val loss did not improve (no generalization)"
+        assert s["idc"]["train_loss_final"] < s["idc"]["train_loss_first"], \
+            "IDC triplet loss did not drop"
+        assert (s["denoiser"]["train_loss_final"]
+                < s["denoiser"]["train_loss_first"]), \
+            "denoiser loss did not drop"
+        assert (s["refiner"]["train_loss_final"]
+                < s["refiner"]["train_loss_first"]), \
+            "refiner loss did not drop"
+        assert (s["eval"]["trained"]["psnr"]
+                > s["eval"]["random_init"]["psnr"] + 1.0), \
+            "trained sampler does not beat random init by >=1 dB"
+        print("ALL CONVERGENCE CHECKS PASSED", flush=True)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

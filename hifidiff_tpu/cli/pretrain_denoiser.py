@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hifidiff_tpu.cli.common import SyntheticFaceDataset, parse_config
+from hifidiff_tpu.cli.common import parse_config
 from hifidiff_tpu.data import (
     CelebAHQDataset,
     ConcatDataset,
@@ -42,7 +42,7 @@ from hifidiff_tpu.train.checkpoint import CheckpointManager
 from hifidiff_tpu.train.optim import adamw_cosine
 from hifidiff_tpu.train.steps import TrainState, make_denoiser_train_step
 from hifidiff_tpu.utils.logging import MetricsLogger, StepTimer, save_image_grid
-from hifidiff_tpu.vae import AutoencoderKL, vae_params_from_torch
+from hifidiff_tpu.vae import AutoencoderKL
 
 
 @dataclasses.dataclass
@@ -70,6 +70,7 @@ class Config:
     # for sampling/eval — standard diffusion practice the reference omits
     seed: int = 0
     synthetic: int = 0
+    procedural: int = 0
     save_model_epoch: int = 10
     save_image_epoch: int = 1
     out_dir: str = "output/denoiser"
@@ -83,9 +84,11 @@ def main(argv=None) -> None:
     maybe_initialize()  # multi-process: jax.distributed (Accelerate equiv)
     key = jax.random.PRNGKey(cfg.seed)
 
-    if cfg.synthetic:
-        train_ds = SyntheticFaceDataset(cfg.synthetic, cfg.size,
-                                        keys=("image",))
+    from hifidiff_tpu.cli.common import smoke_datasets
+
+    smoke = smoke_datasets(cfg, ("image",))
+    if smoke is not None:
+        train_ds = smoke[0]
     else:
         parts = []
         if cfg.multipie_root:
@@ -112,15 +115,9 @@ def main(argv=None) -> None:
 
     dn_params = jax.jit(lambda k: denoiser.init(
         k, jnp.zeros((1, latent, latent, 4)), jnp.zeros((1,))))(key)["params"]
-    if cfg.vae_ckpt:
-        from hifidiff_tpu.utils.torch_import import load_torch_file
+    from hifidiff_tpu.cli.common import load_vae_params
 
-        vae_params = vae_params_from_torch(load_torch_file(cfg.vae_ckpt))
-        print(f"loaded VAE weights from {cfg.vae_ckpt}")
-    else:
-        print("[warn] no --vae-ckpt: frozen VAE is randomly initialized")
-        vae_params = vae.init(key,
-                              jnp.zeros((1, cfg.size, cfg.size, 3)))["params"]
+    vae_params = load_vae_params(vae, cfg.vae_ckpt, key, cfg.size)
 
     total_steps = len(train_loader) * cfg.num_epochs
     tx = adamw_cosine(cfg.lr, cfg.warmup_steps, total_steps,

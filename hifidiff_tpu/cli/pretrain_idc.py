@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hifidiff_tpu.cli.common import SyntheticFaceDataset, parse_config
+from hifidiff_tpu.cli.common import parse_config
 from hifidiff_tpu.data import Loader, MultiPIEIDCDataset
 from hifidiff_tpu.models import CoarseRestoration, IDCEncoder
 from hifidiff_tpu.parallel import (
@@ -48,9 +48,11 @@ class Config:
     size: int = 128
     cr_width: int = 32
     cr_enc_depths: str = "2,2,4,8"
+    cr_mid_depth: int = 8
     idc_stages: str = "3,4,6,3"
     seed: int = 0
     synthetic: int = 0
+    procedural: int = 0
     save_epoch: int = 5
     ckpt_dir: str = "checkpoints/idc"
     use_wandb: bool = False
@@ -75,10 +77,11 @@ def main(argv=None) -> None:
     maybe_initialize()  # multi-process jax.distributed (Accelerate equivalent)
     key = jax.random.PRNGKey(cfg.seed)
 
-    if cfg.synthetic:
-        mk = lambda n: SyntheticFaceDataset(  # noqa: E731
-            n, cfg.size, keys=("lr", "gt", "other"))
-        train_ds, val_ds = mk(cfg.synthetic), mk(max(4, cfg.synthetic // 4))
+    from hifidiff_tpu.cli.common import smoke_datasets
+
+    smoke = smoke_datasets(cfg, ("lr", "gt", "other"))
+    if smoke is not None:
+        train_ds, val_ds = smoke
     else:
         train_ds = MultiPIEIDCDataset(cfg.dataroot, split="train",
                                       size=cfg.size, seed=cfg.seed)
@@ -100,7 +103,8 @@ def main(argv=None) -> None:
 
     cr_enc = parse_ints(cfg.cr_enc_depths)
     cr = CoarseRestoration(width=cfg.cr_width, resolution=cfg.size,
-                           enc_nums=cr_enc, dec_nums=(2,) * len(cr_enc))
+                           enc_nums=cr_enc, mid_num=cfg.cr_mid_depth,
+                           dec_nums=(2,) * len(cr_enc))
     cr_params = load_cr_params(cfg, cr, key)
 
     idc = IDCEncoder(stage_sizes=parse_ints(cfg.idc_stages))

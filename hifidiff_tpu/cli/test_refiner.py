@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hifidiff_tpu.cli.common import SyntheticFaceDataset, parse_config
+from hifidiff_tpu.cli.common import parse_config
 from hifidiff_tpu.data import KFaceDataset, Loader
 from hifidiff_tpu.diffusion import DiffusionSchedule
 from hifidiff_tpu.eval.metrics import min_max_normalize, psnr, ssim
@@ -34,7 +34,7 @@ from hifidiff_tpu.train.checkpoint import (
     compose_refiner_params,
 )
 from hifidiff_tpu.utils.logging import save_image_grid, side_by_side
-from hifidiff_tpu.vae import AutoencoderKL, vae_params_from_torch
+from hifidiff_tpu.vae import AutoencoderKL
 
 
 @dataclasses.dataclass
@@ -55,10 +55,12 @@ class Config:
     idc_stages: str = "3,4,6,3"
     cr_width: int = 32
     cr_enc_depths: str = "2,2,4,8"
+    cr_mid_depth: int = 8
     vae_blocks: str = "128,256,512,512"
     vae_layers: int = 2
     seed: int = 0
     synthetic: int = 0
+    procedural: int = 0
     grid_every: int = 10
     out_dir: str = "output/test_refiner"
     niqe_model: str = ""        # .npz with mu/cov from eval.niqe.fit_niqe_model
@@ -76,7 +78,8 @@ def main(argv=None) -> None:
     latent = cfg.size // (2 ** (len(vae_blocks) - 1))
     cr_enc = parse_ints(cfg.cr_enc_depths)
     cr = CoarseRestoration(width=cfg.cr_width, resolution=cfg.size,
-                           enc_nums=cr_enc, dec_nums=(2,) * len(cr_enc))
+                           enc_nums=cr_enc, mid_num=cfg.cr_mid_depth,
+                           dec_nums=(2,) * len(cr_enc))
     vae = AutoencoderKL(block_out=vae_blocks, layers_per_block=cfg.vae_layers)
     refiner = FacialRefiner(latent_size=latent, width=cfg.width,
                             enc_nums=parse_ints(cfg.enc_depths),
@@ -112,12 +115,9 @@ def main(argv=None) -> None:
         print("[warn] random CR weights")
         cr_params = jax.jit(cr.init)(
             key, jnp.zeros((1, cfg.size, cfg.size, 3)))["params"]
-    if cfg.vae_ckpt:
-        vae_params = vae_params_from_torch(ti.load_torch_file(cfg.vae_ckpt))
-    else:
-        print("[warn] random VAE weights")
-        vae_params = vae.init(key,
-                              jnp.zeros((1, cfg.size, cfg.size, 3)))["params"]
+    from hifidiff_tpu.cli.common import load_vae_params
+
+    vae_params = load_vae_params(vae, cfg.vae_ckpt, key, cfg.size)
 
     sampler = build_refiner_sampler_split(
         refiner, cr, vae, schedule,
@@ -127,9 +127,11 @@ def main(argv=None) -> None:
             clip_sample=True, clip_sample_range=cfg.clip_sample_range))
     sample_vars = {"refiner": variables, "cr": cr_params, "vae": vae_params}
 
-    if cfg.synthetic:
-        ds = SyntheticFaceDataset(cfg.synthetic, cfg.size,
-                                  keys=("lr", "gt", "patches"))
+    from hifidiff_tpu.cli.common import smoke_datasets
+
+    smoke = smoke_datasets(cfg, ("lr", "gt", "patches"))
+    if smoke is not None:
+        ds = smoke[1]  # the held-out split, matching train-CLI val data
     else:
         ds = KFaceDataset(cfg.dataroot, split="val", size=cfg.size)
     loader = Loader(ds, cfg.batch_size, shuffle=False)
@@ -184,6 +186,12 @@ def main(argv=None) -> None:
         print(f"LPIPS: {np.mean(lpipss):.4f}")
     if niqes:
         print(f"NIQE: {np.mean(niqes):.4f}")
+    out = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
+    if lpipss:
+        out["lpips"] = float(np.mean(lpipss))
+    if niqes:
+        out["niqe"] = float(np.mean(niqes))
+    return out
 
 
 if __name__ == "__main__":

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hifidiff_tpu.cli.common import SyntheticFaceDataset, parse_config
+from hifidiff_tpu.cli.common import parse_config
 from hifidiff_tpu.data import Loader, MultiPIEDataset
 from hifidiff_tpu.models import CoarseRestoration
 from hifidiff_tpu.parallel import (
@@ -68,6 +68,7 @@ class Config:
     vgg19_ckpt: str = ""   # torchvision vgg19 state_dict for the VGG term
     seed: int = 0
     synthetic: int = 0          # >0: use N synthetic samples (smoke mode)
+    procedural: int = 0         # >0: N learnable procedural faces (demo)
     save_epoch: int = 5
     dump_every: int = 100
     out_dir: str = "output/cr"
@@ -77,10 +78,11 @@ class Config:
 
 
 def build_datasets(cfg: Config):
-    if cfg.synthetic:
-        mk = lambda n: SyntheticFaceDataset(  # noqa: E731
-            n, cfg.size, keys=("lr", "gt", "patches"))
-        return mk(cfg.synthetic), mk(max(4, cfg.synthetic // 4))
+    from hifidiff_tpu.cli.common import smoke_datasets
+
+    smoke = smoke_datasets(cfg, ("lr", "gt", "patches"))
+    if smoke is not None:
+        return smoke
     train = MultiPIEDataset(cfg.dataroot, split="train",
                             model_type=cfg.model_type, size=cfg.size,
                             use_blind=True, use_patch=True, seed=cfg.seed)

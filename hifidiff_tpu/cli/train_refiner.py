@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hifidiff_tpu.cli.common import SyntheticFaceDataset, parse_config
+from hifidiff_tpu.cli.common import parse_config
 from hifidiff_tpu.data import Loader, MultiPIEDataset
 from hifidiff_tpu.diffusion import DiffusionSchedule
 from hifidiff_tpu.eval.metrics import min_max_normalize, psnr, ssim
@@ -51,7 +51,7 @@ from hifidiff_tpu.utils.logging import (
     save_image_grid,
     side_by_side,
 )
-from hifidiff_tpu.vae import AutoencoderKL, vae_params_from_torch
+from hifidiff_tpu.vae import AutoencoderKL
 
 
 @dataclasses.dataclass
@@ -78,12 +78,14 @@ class Config:
     idc_stages: str = "3,4,6,3"
     cr_width: int = 32
     cr_enc_depths: str = "2,2,4,8"
+    cr_mid_depth: int = 8
     vae_blocks: str = "128,256,512,512"
     vae_layers: int = 2
     remat: bool = False   # jax.checkpoint the UNet blocks (saves HBM)
     ema_decay: float = 0.0  # >0: EMA of trainable params for val sampling
     seed: int = 0
     synthetic: int = 0
+    procedural: int = 0
     save_epoch: int = 5
     out_dir: str = "output/refiner"
     ckpt_dir: str = "checkpoints/refiner"
@@ -100,10 +102,11 @@ def main(argv=None) -> None:
     vae_blocks = parse_ints(cfg.vae_blocks)
     latent = cfg.size // (2 ** (len(vae_blocks) - 1))
 
-    if cfg.synthetic:
-        mk = lambda n: SyntheticFaceDataset(  # noqa: E731
-            n, cfg.size, keys=("lr", "gt"))
-        train_ds, val_ds = mk(cfg.synthetic), mk(max(4, cfg.synthetic // 4))
+    from hifidiff_tpu.cli.common import smoke_datasets
+
+    smoke = smoke_datasets(cfg, ("lr", "gt"))
+    if smoke is not None:
+        train_ds, val_ds = smoke
     else:
         train_ds = MultiPIEDataset(cfg.dataroot, split="train",
                                    model_type=cfg.model_type, size=cfg.size,
@@ -124,6 +127,7 @@ def main(argv=None) -> None:
 
     cr = CoarseRestoration(width=cfg.cr_width, resolution=cfg.size,
                            enc_nums=parse_ints(cfg.cr_enc_depths),
+                           mid_num=cfg.cr_mid_depth,
                            dec_nums=(2,) * len(parse_ints(cfg.cr_enc_depths)))
     vae = AutoencoderKL(block_out=vae_blocks, layers_per_block=cfg.vae_layers)
     refiner = FacialRefiner(latent_size=latent, width=cfg.width,
@@ -145,12 +149,9 @@ def main(argv=None) -> None:
         print("[warn] no --cr-ckpt: random CR")
         cr_params = jax.jit(cr.init)(
             key, jnp.zeros((1, cfg.size, cfg.size, 3)))["params"]
-    if cfg.vae_ckpt:
-        vae_params = vae_params_from_torch(ti.load_torch_file(cfg.vae_ckpt))
-    else:
-        print("[warn] no --vae-ckpt: random VAE")
-        vae_params = vae.init(key,
-                              jnp.zeros((1, cfg.size, cfg.size, 3)))["params"]
+    from hifidiff_tpu.cli.common import load_vae_params
+
+    vae_params = load_vae_params(vae, cfg.vae_ckpt, key, cfg.size)
 
     init_vars = jax.jit(lambda k: refiner.init(
         k, jnp.zeros((1, latent, latent, 4)), jnp.zeros((1,)),

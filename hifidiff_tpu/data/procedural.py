@@ -1,0 +1,196 @@
+"""Procedural face dataset: structured, *learnable* synthetic data.
+
+`SyntheticFaceDataset` (cli/common.py) draws lr/gt independently — fine
+for smoke-testing shapes, useless for demonstrating that training works
+(there is nothing to learn). This module renders a deterministic family
+of parametric "faces" with disentangled identity / pose factors so every
+reference training stage has real signal:
+
+  * stage 1 (CR, `train_cr.py:56-94`): lr is a degraded *posed* render,
+    gt the frontal render of the same identity -> restoration +
+    frontalization is a smooth learnable map;
+  * stage 2 (IDC, `pretrain_idc.py:13-34`): triplets (lr of id i,
+    frontal of id i, frontal of id j != i) with identity-dependent
+    colors/geometry -> metric learning has a signal;
+  * stage 3 (denoiser, `pretrain_denoiser.py:123-227`): "image" = HQ
+    frontal renders -> a low-entropy image family a tiny latent DDPM can
+    actually model;
+  * stage 4 (refiner): lr/gt pairs as in stage 1.
+
+Faces are composed of soft-edged ellipses (background, head, two eyes,
+nose, mouth) whose colors and geometry are identity-specific; yaw "pose"
+shifts the features laterally and shrinks the far-side eye, mimicking
+the non-frontal -> frontal task of the reference (Multi-PIE camera
+angles, `dataset_multipie.py:17-18`). The LR protocol matches the
+reference exactly: bicubic down x4, bicubic up, 8-bit quantization
+(`dataset_kface.py:88-91`, `dataset_multipie.py:148-166`).
+
+Everything is deterministic in (seed, index) - safe for multi-process
+sharded loading and bitwise-reproducible resume tests.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+
+from hifidiff_tpu.data.core import Dataset, Sample
+
+try:  # cv2 ships with the reference stack; fall back to numpy if absent
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def _identity_params(seed: int, ident: int) -> Dict[str, np.ndarray]:
+    rng = np.random.default_rng((seed, 7919, ident))
+    return {
+        "bg": rng.uniform(0.05, 0.35, 3),
+        "skin": rng.uniform(0.45, 0.9, 3),
+        "eye": rng.uniform(0.0, 0.45, 3),
+        "mouth": np.array([rng.uniform(0.5, 0.9), rng.uniform(0.05, 0.3),
+                           rng.uniform(0.05, 0.3)]),
+        "nose": rng.uniform(0.3, 0.7, 3),
+        "eye_dx": rng.uniform(0.16, 0.26),
+        "eye_y": rng.uniform(0.36, 0.46),
+        "eye_r": rng.uniform(0.05, 0.08),
+        "nose_len": rng.uniform(0.1, 0.16),
+        "mouth_y": rng.uniform(0.66, 0.76),
+        "mouth_w": rng.uniform(0.12, 0.2),
+        "mouth_h": rng.uniform(0.035, 0.06),
+        "face_rx": rng.uniform(0.3, 0.38),
+        "face_ry": rng.uniform(0.38, 0.46),
+    }
+
+
+def _ellipse(grid_y, grid_x, cy, cx, ry, rx, sharp):
+    d = ((grid_x - cx) / rx) ** 2 + ((grid_y - cy) / ry) ** 2
+    return 1.0 / (1.0 + np.exp(np.clip((d - 1.0) * sharp, -30.0, 30.0)))
+
+
+def render_face(idp: Dict[str, np.ndarray], pose: float,
+                size: int) -> np.ndarray:
+    """Render one face (HWC float32 in [0,1]). pose=0 is frontal; |pose|<=1
+    shifts features laterally (yaw) and shrinks the far-side eye."""
+    ys, xs = np.meshgrid(np.linspace(0, 1, size), np.linspace(0, 1, size),
+                         indexing="ij")
+    sharp = 8.0
+    shift = 0.12 * pose
+    img = np.broadcast_to(idp["bg"], (size, size, 3)).astype(np.float32).copy()
+
+    def paint(alpha, color):
+        nonlocal img
+        img = img * (1.0 - alpha[..., None]) + alpha[..., None] * color
+
+    paint(_ellipse(ys, xs, 0.52, 0.5 + shift,
+                   idp["face_ry"], idp["face_rx"] * (1 - 0.25 * abs(pose)),
+                   sharp), idp["skin"])
+    # eyes: the eye on the side the face turns away from shrinks
+    for side in (-1.0, 1.0):
+        r = idp["eye_r"] * (1.0 - 0.35 * max(0.0, side * pose))
+        paint(_ellipse(ys, xs, idp["eye_y"],
+                       0.5 + side * idp["eye_dx"] * (1 - 0.3 * abs(pose))
+                       + shift, r, r, sharp * 2), idp["eye"])
+    paint(_ellipse(ys, xs, 0.55, 0.5 + shift, idp["nose_len"], 0.035,
+                   sharp * 2), idp["nose"])
+    paint(_ellipse(ys, xs, idp["mouth_y"], 0.5 + shift, idp["mouth_h"],
+                   idp["mouth_w"] * (1 - 0.2 * abs(pose)), sharp * 2),
+          idp["mouth"])
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+def _resize(img: np.ndarray, size: int) -> np.ndarray:
+    if cv2 is not None:
+        return cv2.resize(img, (size, size), interpolation=cv2.INTER_CUBIC)
+    # numpy fallback: nearest (only exercised where cv2 is unavailable)
+    idx = (np.arange(size) * img.shape[0] / size).astype(int)
+    return img[idx][:, idx]
+
+
+def degrade_lr(gt_posed: np.ndarray, size: int, factor: int = 4) -> np.ndarray:
+    """The reference LR protocol: bicubic down by `factor`, bicubic up,
+    quantize to the 8-bit grid (`dataset_multipie.py:148-166`)."""
+    small = _resize(gt_posed, max(2, size // factor))
+    up = np.clip(_resize(small, size), 0.0, 1.0)
+    return (np.round(up * 255.0) / 255.0).astype(np.float32)
+
+
+def component_boxes(idp: Dict[str, np.ndarray],
+                    size: int) -> Sequence[Tuple[int, int, int, int]]:
+    """(top, left, bottom, right) int boxes for eye_r/eye_l/nose/mouth on
+    the frontal render — the key-region masks of `get_masked_patches`
+    (`dataset_kface.py:15-37`)."""
+    def box(cy, cx, ry, rx):
+        t = int(max(0, (cy - ry) * size))
+        b = int(min(size, (cy + ry) * size + 1))
+        le = int(max(0, (cx - rx) * size))
+        r = int(min(size, (cx + rx) * size + 1))
+        return (t, le, b, r)
+
+    er = idp["eye_r"] * 1.5
+    return [
+        box(idp["eye_y"], 0.5 + idp["eye_dx"], er, er),
+        box(idp["eye_y"], 0.5 - idp["eye_dx"], er, er),
+        box(0.55, 0.5, idp["nose_len"] * 1.2, 0.06),
+        box(idp["mouth_y"], 0.5, idp["mouth_h"] * 1.5, idp["mouth_w"] * 1.2),
+    ]
+
+
+class ProceduralFaceDataset(Dataset):
+    """Deterministic learnable face family.
+
+    keys may include: "lr" (degraded posed render), "gt" (frontal),
+    "patches" (4 masked key-region patches of gt), "other" (frontal of a
+    different identity — triplet negative), "image" (HQ frontal, for
+    denoiser pretraining). Sample index -> (identity, pose) via
+    index % num_ids.
+    """
+
+    def __init__(self, n: int = 64, size: int = 32,
+                 keys: Sequence[str] = ("lr", "gt", "patches"),
+                 num_ids: int = 8, seed: int = 0, lr_factor: int = 4,
+                 start: int = 0):
+        self.n = n
+        self.size = size
+        self.keys = tuple(keys)
+        self.num_ids = num_ids
+        self.seed = seed
+        self.lr_factor = lr_factor
+        # index offset: a val split with the SAME identities but disjoint,
+        # never-trained poses is ProceduralFaceDataset(..., start=10_000)
+        self.start = start
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, index: int) -> Sample:
+        index = index + self.start
+        ident = index % self.num_ids
+        idp = _identity_params(self.seed, ident)
+        rng = np.random.default_rng((self.seed, 104729, index))
+        pose = float(rng.uniform(-0.8, 0.8))
+
+        out: Sample = {}
+        gt = None
+        if {"gt", "patches", "image"} & set(self.keys):
+            gt = render_face(idp, 0.0, self.size)
+        if "gt" in self.keys:
+            out["gt"] = gt
+        if "image" in self.keys:
+            out["image"] = gt
+        if "lr" in self.keys:
+            posed = render_face(idp, pose, self.size)
+            out["lr"] = degrade_lr(posed, self.size, self.lr_factor)
+        if "patches" in self.keys:
+            patches = np.zeros((4, self.size, self.size, 3), np.float32)
+            for p, (t, le, b, r) in enumerate(component_boxes(idp,
+                                                              self.size)):
+                patches[p, t:b, le:r] = gt[t:b, le:r]
+            out["patches"] = patches
+        if "other" in self.keys:
+            other = (ident + 1 + int(rng.integers(0, self.num_ids - 1))) \
+                % self.num_ids
+            out["other"] = render_face(_identity_params(self.seed, other),
+                                       0.0, self.size)
+        return out

@@ -95,20 +95,37 @@ def compose_refiner_params(
       denoiser_ckpt: safetensors/`.pt` from denoiser pretraining; its keys
         feed BOTH the denoiser and (strict=False) the FPG, like
         `models/refiner.py:22-25`.
+
+    Either path may also be an **orbax checkpoint directory** written by
+    our own stage CLIs (`pretrain_idc`, `pretrain_denoiser`) — the native
+    stage-2/3 -> stage-4 hand-off needs no torch round trip: the flax
+    param trees overlay directly (Denoiser and FusedDenoiser share
+    backbone module names; FPG picks up its name/shape overlap
+    strict=False, mirroring `models/refiner.py:22-25`).
     """
     from hifidiff_tpu.utils import torch_import as ti
 
     params = dict(refiner_init_vars["params"])
     stats = dict(refiner_init_vars.get("batch_stats", {}))
 
-    if idc_ckpt:
+    if idc_ckpt and os.path.isdir(idc_ckpt):
+        st = CheckpointManager(idc_ckpt).restore()["state"]
+        params["idc"] = _merge_strict_false(params["idc"], st["params"])
+        if "idc" in stats and st.get("batch_stats"):
+            stats["idc"] = _merge_strict_false(stats["idc"],
+                                               st["batch_stats"])
+    elif idc_ckpt:
         sd = ti.load_torch_file(idc_ckpt)
         p, s = ti.resnet50_params(sd)
         params["idc"] = _merge_strict_false(params["idc"], p)
         if "idc" in stats:
             stats["idc"] = _merge_strict_false(stats["idc"], s)
 
-    if denoiser_ckpt:
+    if denoiser_ckpt and os.path.isdir(denoiser_ckpt):
+        dn = CheckpointManager(denoiser_ckpt).restore()["state"]["params"]
+        params["denoiser"] = _merge_strict_false(params["denoiser"], dn)
+        params["fpg"] = _merge_strict_false(params["fpg"], dn)
+    elif denoiser_ckpt:
         sd = ti.load_torch_file(denoiser_ckpt)
         if any(k.startswith(("denoiser.", "fpg.", "idc.")) for k in sd):
             # a saved FacialRefiner (prefix-namespaced, as consumed by

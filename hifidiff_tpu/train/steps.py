@@ -161,6 +161,35 @@ def make_denoiser_train_step(model, vae, schedule: DiffusionSchedule,
     return step
 
 
+def make_vae_train_step(vae, beta_kl: float = 1e-6) -> Callable:
+    """Recon + KL training step for `AutoencoderKL` (beyond-reference
+    utility: the PyTorch repo freezes an externally pretrained SD-2.1 VAE,
+    `pretrain_denoiser.py:256-259` — this provides the corresponding fit
+    path so the full pipeline can be trained self-contained on custom
+    domains, and powers the end-to-end convergence demo)."""
+
+    def step(state: TrainState, batch, key):
+        x = jnp.clip(batch["image"], 0.0, 1.0) * 2.0 - 1.0
+
+        def loss_fn(params):
+            mean, logvar = vae.apply({"params": params}, x,
+                                     method=vae.moments)
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                key, mean.shape, mean.dtype)
+            rec = vae.apply({"params": params}, z, method=vae.decode)
+            rec_loss = mse_loss(rec, x)
+            kl = -0.5 * jnp.mean(1.0 + logvar - jnp.square(mean)
+                                 - jnp.exp(logvar))
+            return rec_loss + beta_kl * kl, (rec_loss, kl)
+
+        (loss, (rec, kl)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads), {"loss": loss, "rec": rec,
+                                              "kl": kl}
+
+    return step
+
+
 def make_refiner_train_step(refiner, cr_model, vae,
                             schedule: DiffusionSchedule,
                             scaling: float = SD_VAE_SCALING) -> Callable:

@@ -68,6 +68,22 @@ class TestTrainCRSmoke:
 
 
 @pytest.mark.slow
+class TestTrainVAESmoke:
+    def test_one_epoch_procedural(self, tmp_path):
+        from hifidiff_tpu.cli import train_vae
+
+        train_vae.main([
+            "--procedural", "8", "--batch-size", "8", "--num-epochs", "1",
+            "--size", "32", "--vae-blocks", "32,32", "--vae-layers", "1",
+            "--warmup-steps", "1",
+            "--out-dir", str(tmp_path / "out"),
+            "--ckpt-dir", str(tmp_path / "ckpt"),
+        ])
+        assert os.path.isdir(tmp_path / "ckpt" / "temp")
+        assert os.path.exists(tmp_path / "out" / "temp" / "val_e0.png")
+
+
+@pytest.mark.slow
 class TestPretrainDenoiserSmoke:
     def test_one_epoch_synthetic(self, tmp_path):
         from hifidiff_tpu.cli import pretrain_denoiser

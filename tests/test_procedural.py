@@ -1,0 +1,179 @@
+"""Procedural learnable-face dataset + stage-0 VAE step + native orbax
+checkpoint hand-off (the machinery behind the end-to-end convergence demo,
+`cli/convergence_demo.py`)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hifidiff_tpu.data.procedural import (
+    ProceduralFaceDataset,
+    component_boxes,
+    render_face,
+    _identity_params,
+)
+
+
+class TestProceduralData:
+    @pytest.mark.smoke
+    def test_keys_shapes_determinism(self):
+        ds = ProceduralFaceDataset(
+            8, 32, keys=("lr", "gt", "patches", "other", "image"))
+        s, s2 = ds[3], ds[3]
+        assert s["lr"].shape == (32, 32, 3)
+        assert s["patches"].shape == (4, 32, 32, 3)
+        for k in s:
+            assert s[k].dtype == np.float32
+            np.testing.assert_array_equal(s[k], s2[k])
+            assert 0.0 <= s[k].min() and s[k].max() <= 1.0
+
+    def test_identity_signal(self):
+        # lr must be closer to its own gt than to another identity's gt —
+        # otherwise CR/IDC training has nothing to learn
+        ds = ProceduralFaceDataset(16, 32, keys=("lr", "gt", "other"))
+        for i in range(8):
+            s = ds[i]
+            own = np.abs(s["lr"] - s["gt"]).mean()
+            other = np.abs(s["lr"] - s["other"]).mean()
+            assert own < other
+
+    def test_pose_varies_but_identity_fixed(self):
+        idp = _identity_params(0, 2)
+        frontal = render_face(idp, 0.0, 32)
+        posed = render_face(idp, 0.7, 32)
+        assert np.abs(frontal - posed).mean() > 1e-3
+        # frontal render is pose-deterministic
+        np.testing.assert_array_equal(frontal, render_face(idp, 0.0, 32))
+
+    def test_val_split_disjoint_poses_same_identities(self):
+        train = ProceduralFaceDataset(8, 32, keys=("lr", "gt"))
+        val = ProceduralFaceDataset(8, 32, keys=("lr", "gt"), start=10_000)
+        # same identity cycle -> identical frontal gt
+        np.testing.assert_array_equal(train[0]["gt"], val[0]["gt"])
+        # different pose draw -> different lr
+        assert np.abs(train[0]["lr"] - val[0]["lr"]).max() > 1e-4
+
+    def test_component_boxes_cover_features(self):
+        idp = _identity_params(0, 0)
+        boxes = component_boxes(idp, 32)
+        assert len(boxes) == 4
+        for t, le, b, r in boxes:
+            assert 0 <= t < b <= 32 and 0 <= le < r <= 32
+
+
+class TestVAETrainStep:
+    def test_loss_decreases(self):
+        from hifidiff_tpu.train.steps import TrainState, make_vae_train_step
+        from hifidiff_tpu.vae import AutoencoderKL
+        import optax
+
+        ds = ProceduralFaceDataset(4, 32, keys=("image",))
+        batch = {"image": jnp.asarray(
+            np.stack([ds[i]["image"] for i in range(4)]))}
+        vae = AutoencoderKL(block_out=(32, 32), layers_per_block=1)
+        key = jax.random.PRNGKey(0)
+        params = vae.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
+        state = TrainState.create(params, optax.adam(1e-3))
+        step = jax.jit(make_vae_train_step(vae))
+        first = None
+        for i in range(15):
+            state, m = step(state, batch, jax.random.fold_in(key, i))
+            if first is None:
+                first = float(m["loss"])
+        assert float(m["loss"]) < first
+        assert np.isfinite(float(m["kl"]))
+
+
+class TestOrbaxHandoff:
+    def test_compose_from_orbax_dirs(self, tmp_path):
+        """Native stage-2/3 -> stage-4 hand-off: orbax dirs written the way
+        the CLIs write them feed `compose_refiner_params` directly."""
+        import optax
+
+        from hifidiff_tpu.models import Denoiser, FacialRefiner, IDCEncoder
+        from hifidiff_tpu.train.checkpoint import (
+            CheckpointManager,
+            compose_refiner_params,
+        )
+        from hifidiff_tpu.train.steps import TrainState
+
+        key = jax.random.PRNGKey(0)
+        dn = Denoiser(width=16, enc_nums=(1, 1), mid_num=1, dec_nums=(1, 1))
+        dn_params = dn.init(key, jnp.zeros((1, 8, 8, 4)),
+                            jnp.zeros((1,)))["params"]
+        dn_state = TrainState.create(dn_params, optax.adam(1e-3))
+        dn_dir = str(tmp_path / "dn")
+        m = CheckpointManager(dn_dir)
+        m.save(1, jax.device_get(dn_state), wait=True)
+        m.close()
+
+        idc = IDCEncoder(stage_sizes=(1, 1, 1, 1))
+        idc_vars = idc.init(key, jnp.zeros((1, 64, 64, 3)), train=True)
+        idc_state = TrainState.create(idc_vars["params"], optax.adam(1e-3),
+                                      batch_stats=idc_vars["batch_stats"])
+        idc_dir = str(tmp_path / "idc")
+        m = CheckpointManager(idc_dir)
+        m.save(1, jax.device_get(idc_state), wait=True)
+        m.close()
+
+        refiner = FacialRefiner(latent_size=8, width=16, enc_nums=(1, 1),
+                                mid_num=1, dec_nums=(1, 1),
+                                idc_stage_sizes=(1, 1, 1, 1))
+        init_vars = refiner.init(
+            key, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+            jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 8, 8, 4)), train=False)
+        variables = compose_refiner_params(
+            jax.device_get(init_vars), idc_ckpt=idc_dir,
+            denoiser_ckpt=dn_dir)
+
+        # denoiser backbone weights must be overlaid wherever names/shapes
+        # match the pretrained Denoiser (shared module names)
+        flat_ref = jax.tree_util.tree_flatten_with_path(
+            variables["params"]["denoiser"])[0]
+        flat_dn = dict(jax.tree_util.tree_flatten_with_path(
+            jax.device_get(dn_params))[0])
+        hits = 0
+        for path, leaf in flat_ref:
+            src = flat_dn.get(path)
+            if src is not None and src.shape == leaf.shape:
+                np.testing.assert_array_equal(np.asarray(leaf),
+                                              np.asarray(src))
+                hits += 1
+        assert hits > 0, "no denoiser weights were overlaid"
+
+        # IDC overlay: params + batch stats
+        flat_idc_ref = dict(jax.tree_util.tree_flatten_with_path(
+            variables["params"]["idc"])[0])
+        flat_idc_src = dict(jax.tree_util.tree_flatten_with_path(
+            jax.device_get(idc_vars["params"]))[0])
+        shared = [p for p in flat_idc_ref
+                  if p in flat_idc_src
+                  and flat_idc_src[p].shape == flat_idc_ref[p].shape]
+        assert shared, "no idc weights were overlaid"
+        for p in shared:
+            np.testing.assert_array_equal(np.asarray(flat_idc_ref[p]),
+                                          np.asarray(flat_idc_src[p]))
+
+    def test_load_vae_params_orbax(self, tmp_path):
+        import optax
+
+        from hifidiff_tpu.cli.common import load_vae_params
+        from hifidiff_tpu.train.checkpoint import CheckpointManager
+        from hifidiff_tpu.train.steps import TrainState
+        from hifidiff_tpu.vae import AutoencoderKL
+
+        vae = AutoencoderKL(block_out=(32, 32), layers_per_block=1)
+        key = jax.random.PRNGKey(1)
+        params = vae.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
+        state = TrainState.create(params, optax.adam(1e-3))
+        d = str(tmp_path / "vae")
+        m = CheckpointManager(d)
+        m.save(3, jax.device_get(state), wait=True)
+        m.close()
+        loaded = load_vae_params(vae, d, key, 32)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            jax.device_get(params), loaded)
