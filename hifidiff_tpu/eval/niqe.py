@@ -87,8 +87,48 @@ def _patch_features(patch: np.ndarray) -> np.ndarray:
     return np.asarray(feats)
 
 
+def _cubic(x: np.ndarray) -> np.ndarray:
+    """MATLAB's bicubic interpolation kernel (a = -0.5)."""
+    ax = np.abs(x)
+    ax2, ax3 = ax ** 2, ax ** 3
+    return ((1.5 * ax3 - 2.5 * ax2 + 1.0) * (ax <= 1)
+            + (-0.5 * ax3 + 2.5 * ax2 - 4.0 * ax + 2.0)
+            * ((ax > 1) & (ax <= 2)))
+
+
+def _imresize_weights(n_in: int, n_out: int, scale: float):
+    """MATLAB `imresize` contribution weights/indices for one dimension,
+    ANTIALIASED bicubic (scale < 1 widens the kernel by 1/scale — the
+    pyiqa/basicsr `imresize` used for NIQE's second scale)."""
+    kernel_width = 4.0 / scale if scale < 1 else 4.0
+    u = (np.arange(n_out) + 0.5) / scale - 0.5
+    left = np.floor(u - kernel_width / 2).astype(int)
+    p = int(math.ceil(kernel_width)) + 2
+    idx = left[:, None] + np.arange(p)[None, :]
+    dist = u[:, None] - idx
+    w = _cubic(dist * scale) * scale if scale < 1 else _cubic(dist)
+    w = w / w.sum(axis=1, keepdims=True)
+    idx = np.clip(idx, 0, n_in - 1)          # replicate border
+    return w, idx
+
+
+def imresize_half(img: np.ndarray) -> np.ndarray:
+    """MATLAB/pyiqa `imresize(img, scale=0.5)` with antialiasing, (H, W)."""
+    h, w = img.shape
+    wy, iy = _imresize_weights(h, h // 2, 0.5)
+    wx, ix = _imresize_weights(w, w // 2, 0.5)
+    tmp = np.einsum("op,opw->ow", wy, img[iy, :])          # rows
+    return np.einsum("op,hop->ho", wx, tmp[:, ix])         # cols
+
+
 def niqe_features(img: np.ndarray, patch_size: int = 96) -> np.ndarray:
-    """img: (H, W) luma in [0, 255] -> (num_patches, 36) features."""
+    """img: (H, W) luma in [0, 255] -> (num_patches, 36) features.
+
+    Pipeline conventions match pyiqa/basicsr `calculate_niqe`: MSCN with a
+    7x7 sigma-7/6 Gaussian and replicate borders, 96x96 patches, second
+    scale via MATLAB antialiased-bicubic 0.5x `imresize` (NOT mean
+    pooling) with 48x48 patches; circshift (wraparound) pairwise products;
+    GGD/AGGD fits over the 0.2:0.001:10 gamma grid."""
     kernel = _gaussian_kernel2d()
     feats_scales = []
     for scale in range(2):
@@ -103,9 +143,7 @@ def niqe_features(img: np.ndarray, patch_size: int = 96) -> np.ndarray:
                 feats.append(_patch_features(p))
         feats_scales.append(np.asarray(feats))
         if scale == 0:
-            # downsample by 2 (average pool) for the second scale
-            h2, w2 = (h // 2) * 2, (w // 2) * 2
-            img = img[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).mean((1, 3))
+            img = imresize_half(img / 255.0) * 255.0
             patch_size //= 2
     n = min(len(feats_scales[0]), len(feats_scales[1]))
     if n == 0:
@@ -114,14 +152,17 @@ def niqe_features(img: np.ndarray, patch_size: int = 96) -> np.ndarray:
 
 
 def rgb_to_luma(img: np.ndarray) -> np.ndarray:
-    """(H, W, 3) float [0,1] RGB -> (H, W) luma in [0, 255] (BT.601)."""
-    return (img @ np.asarray([0.299, 0.587, 0.114])) * 255.0
+    """(H, W, 3) float [0,1] RGB -> (H, W) BT.601 studio-swing luma in
+    [16, 235] — pyiqa's `to_y_channel` convention (the same rgb2ycbcr row
+    as `eval.metrics.rgb_to_y`), which basicsr/pyiqa NIQE consumes."""
+    return (img @ np.asarray([65.481, 128.553, 24.966])) + 16.0
 
 
 def fit_niqe_model(images) -> Tuple[np.ndarray, np.ndarray]:
     """Fit the pristine MVG (mu, cov) from an iterable of (H, W, 3) [0,1]
     RGB images (use any HQ face corpus)."""
-    all_feats = [niqe_features(rgb_to_luma(im)) for im in images]
+    # .round() imitates MATLAB's uint8 quantization, as basicsr/pyiqa do
+    all_feats = [niqe_features(rgb_to_luma(im).round()) for im in images]
     feats = np.concatenate(all_feats, axis=0)
     mu = np.nanmean(feats, axis=0)
     cov = np.cov(feats[~np.isnan(feats).any(axis=1)].T)
@@ -131,7 +172,7 @@ def fit_niqe_model(images) -> Tuple[np.ndarray, np.ndarray]:
 def niqe(img: np.ndarray, mu_pris: np.ndarray,
          cov_pris: np.ndarray) -> float:
     """img: (H, W, 3) float [0,1] RGB. Lower = more natural."""
-    feats = niqe_features(rgb_to_luma(img))
+    feats = niqe_features(rgb_to_luma(img).round())
     mu = np.nanmean(feats, axis=0)
     cov = np.cov(feats.T) if feats.shape[0] > 1 else np.zeros_like(cov_pris)
     pooled = (cov_pris + cov) / 2.0
