@@ -23,7 +23,11 @@ import numpy as np
 from hifidiff_tpu.cli.common import parse_config
 from hifidiff_tpu.data import KFaceDataset, Loader
 from hifidiff_tpu.diffusion import DiffusionSchedule
-from hifidiff_tpu.eval.metrics import min_max_normalize, psnr, ssim
+from hifidiff_tpu.eval.metrics import (
+    min_max_normalize,
+    psnr_pyiqa,
+    ssim_pyiqa,
+)
 from hifidiff_tpu.models import CoarseRestoration, FacialRefiner
 from hifidiff_tpu.pipeline import (
     RefinerPipelineConfig,
@@ -164,10 +168,15 @@ def main(argv=None) -> None:
         batch = shard_batch(batch, mesh)
         pred = sampler(sample_vars, batch["lr"],
                        jax.random.fold_in(key, i))
-        pred_n = min_max_normalize(pred)
-        gt_n = min_max_normalize(batch["gt"])
-        psnrs.append(float(psnr(pred_n, gt_n)))
-        ssims.append(float(ssim(pred_n, gt_n)))
+        # reference conventions, end to end (`test_refiner.py:107-131`):
+        # batch-GLOBAL min-max normalization of pred and gt, pyiqa 'psnr'
+        # (per-image RGB, data_range 1, then mean) and pyiqa 'ssim'
+        # (BT.601 Y channel, MATLAB window/border rules) — pinned by
+        # tests/test_pyiqa_golden.py
+        pred_n = min_max_normalize(pred, per_sample=False)
+        gt_n = min_max_normalize(batch["gt"], per_sample=False)
+        psnrs.append(float(jnp.mean(psnr_pyiqa(pred_n, gt_n))))
+        ssims.append(float(jnp.mean(ssim_pyiqa(pred_n, gt_n))))
         if lpips_fn is not None:
             lpipss.append(float(jnp.mean(lpips_fn(pred_n, gt_n))))
         if niqe_fn is not None:

@@ -23,7 +23,11 @@ import numpy as np
 from hifidiff_tpu.cli.common import parse_config
 from hifidiff_tpu.data import Loader, MultiPIEDataset
 from hifidiff_tpu.diffusion import DiffusionSchedule
-from hifidiff_tpu.eval.metrics import min_max_normalize, psnr, ssim
+from hifidiff_tpu.eval.metrics import (
+    min_max_normalize,
+    psnr_pyiqa,
+    ssim_pyiqa,
+)
 from hifidiff_tpu.models import CoarseRestoration, FacialRefiner
 from hifidiff_tpu.parallel import (
     is_main_process,
@@ -189,10 +193,13 @@ def main(argv=None) -> None:
 
     @jax.jit
     def val_metrics(pred, gt):
-        # min-max-normalize convention of `test_refiner.py:113-119`
-        pred_n = min_max_normalize(pred)
-        gt_n = min_max_normalize(gt)
-        return {"psnr": psnr(pred_n, gt_n), "ssim": ssim(pred_n, gt_n)}
+        # reference eval conventions (`test_refiner.py:113-119` batch-global
+        # min-max; pyiqa psnr/ssim definitions) so val numbers are
+        # comparable to the reported test metrics
+        pred_n = min_max_normalize(pred, per_sample=False)
+        gt_n = min_max_normalize(gt, per_sample=False)
+        return {"psnr": jnp.mean(psnr_pyiqa(pred_n, gt_n)),
+                "ssim": jnp.mean(ssim_pyiqa(pred_n, gt_n))}
 
     logger = MetricsLogger("logs", "hifi_refiner", cfg.name,
                            use_wandb=cfg.use_wandb)
