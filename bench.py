@@ -55,7 +55,7 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--windows", type=int, default=3,
                    help="measurement windows; the best is reported "
-                        "(tunnel throughput drifts ~20% between windows)")
+                        "(tunnel throughput drifts ~20%% between windows)")
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--cast-params", type=int, default=1,
                    help="store params in bf16 (halves per-step HBM param "
@@ -97,6 +97,12 @@ def main() -> None:
                    help="measure the chip's compute/bandwidth envelope "
                         "(bf16 matmul TFLOP/s at several shapes, HBM GB/s), "
                         "write ROOFLINE.json, print it, and exit")
+    p.add_argument("--latency", action="store_true",
+                   help="serving-latency mode: per-call end-to-end "
+                        "latency (p50/p95) at --batch with a sync after "
+                        "EVERY call, instead of pipelined throughput. Use "
+                        "small --batch (1/8/16) for interactive-serving "
+                        "numbers")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
@@ -245,6 +251,27 @@ def main() -> None:
                   flush=True)
 
     from hifidiff_tpu.utils.logging import profile_trace
+
+    if args.latency:
+        # serving mode: sequential calls, sync after each — measures the
+        # real request-to-response latency a serving frontend would see
+        # (throughput mode pipelines dispatches and hides it)
+        lats = []
+        for i in range(max(args.iters, 20)):
+            t0 = time.time()
+            out = run(variables, lr_images, jax.random.fold_in(key, i))
+            sync(out)
+            lats.append(time.time() - t0)
+        lats_ms = sorted(x * 1e3 for x in lats[3:])   # drop warm tail
+        p50 = lats_ms[len(lats_ms) // 2]
+        p95 = lats_ms[int(len(lats_ms) * 0.95)]
+        print(json.dumps({
+            "metric": f"latency_ms_batch{args.batch}_128px_ddim{args.steps}",
+            "value": round(p50, 1), "unit": "ms",
+            "p95": round(p95, 1),
+            "per_face_ms": round(p50 / args.batch, 2),
+        }))
+        return
 
     # multiple measurement windows. The MEDIAN window is the number of
     # record (VERDICT r2 item 9: best-of-N over a ~20%-drifting tunnel
