@@ -48,9 +48,19 @@ def _interpret() -> bool:
 
 
 def _warp_kernel(coef_ref, x_ref, out_ref, *, h: int, w: int, c: int,
-                 k_win: int, tile_rows: int):
+                 k_win: int, tile_rows: int, packed: bool):
     """coef_ref: (B, 8) f32 scalar-prefetch [ax, bx, cx, ay, by, cy, 0, 0]
-    (pixel space). x_ref: (1, H*W, C) VMEM source. out_ref: (1, Ti*W, C)."""
+    (pixel space). x_ref: (1, H*W, C) VMEM source. out_ref: (1, Ti*W, C).
+
+    Two inner strategies per output row:
+      packed=False (default): K serialized (W, W) @ (W, C) matmuls with a
+        wy-weighted f32 accumulate — the round-2 proven lowering.
+      packed=True (HIFIDIFF_WARP_PACKED=1, experimental until validated on
+        real Mosaic): the K window rows are lane-PACKED into one (W, K*C)
+        operand so the row costs ONE MXU matmul (W, W) @ (W, K*C) instead
+        of K thin ones (C=32 fills 1/4 of the 128 lanes; K*C=512 streams 4
+        full lane tiles through a single pipelined op); the wy weighting
+        becomes a static-lane-slice VPU epilogue. Identical math."""
     b = pl.program_id(0)
     r = pl.program_id(1)
     ax = coef_ref[b, 0]
@@ -85,19 +95,36 @@ def _warp_kernel(coef_ref, x_ref, out_ref, *, h: int, w: int, c: int,
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - (start_f + k_in)))
 
         wx_c = wx.astype(x_ref.dtype)
-        acc = jnp.zeros((w, c), jnp.float32)
         row0 = pl.multiple_of(start * w, w)
-        for k in range(k_win):
-            win_k = x_ref[0, pl.ds(row0 + k * w, w), :]        # (W, C)
-            t = jnp.dot(wx_c, win_k, preferred_element_type=jnp.float32)
-            acc = acc + wy[:, k:k + 1] * t
+        acc = jnp.zeros((w, c), jnp.float32)
+        if packed:
+            win = x_ref[0, pl.ds(row0, k_win * w), :]          # (K*W, C)
+            lanes = jnp.concatenate(
+                [win[k * w:(k + 1) * w, :] for k in range(k_win)],
+                axis=-1)                                       # (W, K*C)
+            t = jnp.dot(wx_c, lanes,
+                        preferred_element_type=jnp.float32)    # (W, K*C)
+            for k in range(k_win):
+                acc = acc + wy[:, k:k + 1] * t[:, k * c:(k + 1) * c]
+        else:
+            for k in range(k_win):
+                win_k = x_ref[0, pl.ds(row0 + k * w, w), :]    # (W, C)
+                t = jnp.dot(wx_c, win_k,
+                            preferred_element_type=jnp.float32)
+                acc = acc + wy[:, k:k + 1] * t
         out_ref[0, u * w:(u + 1) * w, :] = acc.astype(out_ref.dtype)
 
 
 def warp_rowwin_pallas(x: jax.Array, coef: jax.Array, k_win: int = 16,
-                       tile_rows: int = 8) -> jax.Array:
+                       tile_rows: int = 8,
+                       packed: bool | None = None) -> jax.Array:
     """x: (B, H, W, C); coef: (B, 8) f32 pixel-space affine coefficients.
-    Returns the bilinear warp, same shape/dtype as x."""
+    Returns the bilinear warp, same shape/dtype as x. packed=None reads
+    HIFIDIFF_WARP_PACKED (see _warp_kernel)."""
+    import os
+
+    if packed is None:
+        packed = bool(os.environ.get("HIFIDIFF_WARP_PACKED"))
     b, h, w, c = x.shape
     k_win = min(k_win, h)
     tile_rows = min(tile_rows, h)
@@ -120,7 +147,7 @@ def warp_rowwin_pallas(x: jax.Array, coef: jax.Array, k_win: int = 16,
     # default 16 MB scoped-vmem budget; v5e has headroom, raise the cap
     out = pl.pallas_call(
         functools.partial(_warp_kernel, h=h, w=w, c=c, k_win=k_win,
-                          tile_rows=tile_rows),
+                          tile_rows=tile_rows, packed=packed),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h * w, c), x.dtype),
         compiler_params=pltpu.CompilerParams(

@@ -161,6 +161,7 @@ def _warp_matmul_small(x: jax.Array, theta: jax.Array) -> jax.Array:
 
 
 _FAST_KWIN = 16
+_FAST_KWIN_SMALL = 4
 
 
 def _warp_fast_impl(x: jax.Array, theta: jax.Array) -> jax.Array:
@@ -173,12 +174,37 @@ def _warp_fast_impl(x: jax.Array, theta: jax.Array) -> jax.Array:
     from hifidiff_tpu.ops.pallas.warp import warp_rowwin_pallas
 
     coef = _pixel_coef(theta, h, w)
-    # window fits iff the per-row sy span (+ floor/ceil corner slack)
-    # fits in K; identity-initialized STN thetas always do
+    # the source-row window covers every nonzero hat weight iff the per-row
+    # sy span (+ floor/ceil corner slack) fits in K. Runtime-dispatch on the
+    # actual thetas: near-identity warps (|shear_y| <= ~1px across the row —
+    # zero-init STN heads and most trained warps) take the K=4 kernel at
+    # 1/4 the MXU work; stronger shears the K=16 kernel; pathological
+    # thetas the exact gather fallback. All three are exact bilinear.
     span = jnp.max(jnp.abs(coef[:, 3])) * (w - 1) + 3.0
+    import os
+
+    if os.environ.get("HIFIDIFF_WARP_ADAPTIVE"):
+        # experimental span-adaptive dispatch: near-identity warps
+        # (|shear_y| across the row <= ~1 px — zero-init STN heads and most
+        # trained warps) take a K=4 kernel at 1/4 the MXU work; stronger
+        # shears the K=16 kernel; pathological thetas the exact gather.
+        # All three are exact bilinear. Off by default: nested lax.cond
+        # over pallas calls showed pathological server-side compile times
+        # through the axon tunnel (docs/PERF.md rule 5) and must be
+        # re-validated before becoming the default.
+        return jax.lax.cond(
+            span <= float(_FAST_KWIN_SMALL),
+            lambda x: warp_rowwin_pallas(x, coef, k_win=_FAST_KWIN_SMALL),
+            lambda x: jax.lax.cond(
+                span <= float(_FAST_KWIN),
+                lambda x: warp_rowwin_pallas(x, coef, k_win=_FAST_KWIN),
+                lambda x: _warp_gather(x, theta),
+                x),
+            x)
+    k = int(os.environ.get("HIFIDIFF_WARP_KWIN", _FAST_KWIN))
     return jax.lax.cond(
-        span <= float(_FAST_KWIN),
-        lambda x: warp_rowwin_pallas(x, coef, k_win=_FAST_KWIN),
+        span <= float(k),
+        lambda x: warp_rowwin_pallas(x, coef, k_win=k),
         lambda x: _warp_gather(x, theta),
         x)
 

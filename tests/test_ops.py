@@ -185,6 +185,22 @@ class TestFastWarp:
         np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                    atol=2e-5, rtol=1e-5)
 
+    def test_rowwin_k16_branch_matches_gather(self, monkeypatch):
+        """Mid shear: span in (K_SMALL, K] -> the lax.cond picks the K=16
+        packed kernel (not the K=4 fast variant, not the gather
+        fallback); must stay exact bilinear."""
+        from hifidiff_tpu.ops.warp import affine_warp
+
+        monkeypatch.setenv("HIFIDIFF_FORCE_FAST_WARP", "1")
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 8))
+        theta = jnp.tile(jnp.asarray(
+            [[1.0, 0.02, 0.01], [0.12, 1.0, -0.02]], jnp.float32)[None],
+            (2, 1, 1))  # ay=0.12 -> span ~ 0.12*63+3 ~ 10.6: K=16 branch
+        fast = affine_warp(x, theta)
+        ref = affine_warp(x, theta, method="gather")
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
     def test_extreme_shear_falls_back_exactly(self, monkeypatch):
         """|dsy/dj| too large for the K-row window -> lax.cond picks the
         gather branch; result must still be exact."""
