@@ -268,6 +268,7 @@ def main() -> None:
         print(json.dumps({
             "metric": f"latency_ms_batch{args.batch}_128px_ddim{args.steps}",
             "value": round(p50, 1), "unit": "ms",
+            "vs_baseline": 0.0,   # latency has no A100 baseline analogue
             "p95": round(p95, 1),
             "per_face_ms": round(p50 / args.batch, 2),
         }))
@@ -375,9 +376,14 @@ def bench_roofline(args) -> None:
             # on every output element, so XLA can neither DCE the matmul
             # nor factor the reduction (a plain o[0,0] carry measured an
             # impossible 508 TF/s — DCE'd to a dot product). Reduction
-            # cost m*n is negligible vs 2*m*k*n.
+            # cost m*n is negligible vs 2*m*k*n. The perturbation is a
+            # SCALAR scale of `a` (input-fuses into the dot's operand
+            # read) — NOT an `a.at[...].add` update, which materialized a
+            # full (m,k) copy per iteration and understated the
+            # bandwidth-bound small-K shapes ~2x.
             def body(c, i):
-                o = a.at[:, 0].add(c + i.astype(jnp.bfloat16) * 1e-3) @ b
+                o = (a * (jnp.bfloat16(1.0) + c
+                          + i.astype(jnp.bfloat16) * 1e-3)) @ b
                 return jnp.max(jnp.abs(o)) * jnp.bfloat16(1e-6), ()
             c, _ = lax.scan(body, seed, jnp.arange(iters))
             return c
@@ -401,18 +407,23 @@ def bench_roofline(args) -> None:
 
     @jax.jit
     def scale(x, seed):
-        # in-scan (one dispatch): each step reads+writes the full array;
-        # max-carry forces materialization (see matmul note above)
-        def body(c, i):
-            y = x * (jnp.bfloat16(1.0) + c + i.astype(jnp.bfloat16) * 1e-4)
-            return jnp.max(y) * jnp.bfloat16(1e-6), ()
-        c, _ = lax.scan(body, seed, jnp.arange(iters))
-        return c
+        # in-scan (one dispatch): the ARRAY is the scan carry, so each
+        # step must read the full carry and write the full next carry —
+        # true R+W traffic. (The previous version scaled a closed-over x
+        # and reduced it to a max-carry; XLA input-fused the multiply into
+        # the reduction and never wrote y, so "copy2x" was really a
+        # read-only kernel reported at 2x its true bandwidth.)
+        def body(y, i):
+            m = (jnp.bfloat16(1.0) + seed * jnp.bfloat16(1e-6)
+                 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-9))
+            return y * m, ()
+        y, _ = lax.scan(body, x, jnp.arange(iters))
+        return y
 
-    sync(scale(x, jnp.bfloat16(0.0)).reshape(1))
+    sync(scale(x, jnp.bfloat16(0.0)))
     t0 = time.time()
     o = scale(x, jnp.bfloat16(1.0))
-    sync(o.reshape(1))
+    sync(o)
     dt = (time.time() - t0) / iters
     out["hbm_gbps"]["copy2x"] = round(2.0 * nelem * 2 / dt / 1e9, 1)
 

@@ -81,17 +81,30 @@ def smoke_datasets(cfg, keys, val_keys=None):
     supports: `--synthetic N` (random tensors — shape smoke only) and
     `--procedural N` (deterministic learnable face family,
     `data/procedural.py` — real training signal for the end-to-end
-    convergence demo). Val uses the same identities at never-trained
-    poses (`start=10_000`). Returns None when neither flag is set."""
+    convergence demo). Val split semantics depend on the task: for
+    pose-dependent keys ("lr" present — restoration/frontalization) val
+    is the SAME identities at never-trained poses (`start=10_000`,
+    matching the task: identity-preserving restoration); for
+    pose-independent keys (pure "image" recon/generation, e.g. the VAE
+    stage) the frontal render depends only on identity, so a start offset
+    alone would reproduce the train images bit-exactly — val instead uses
+    UNSEEN identities (different seed), making val PSNR a real
+    generalization measure. Returns None when neither flag is set."""
     if getattr(cfg, "procedural", 0):
         from hifidiff_tpu.data.procedural import ProceduralFaceDataset
 
         n_val = max(4, cfg.procedural // 4)
+        pose_dependent = "lr" in set(val_keys or keys)
+        # identity diversity scales with the requested set size (a fixed 8
+        # identities caps unseen-identity generalization of the image-only
+        # stages)
+        num_ids = max(8, cfg.procedural // 4)
+        val_kw = (dict(seed=cfg.seed, start=10_000) if pose_dependent
+                  else dict(seed=cfg.seed + 7919))
         return (ProceduralFaceDataset(cfg.procedural, cfg.size, keys=keys,
-                                      seed=cfg.seed),
-                ProceduralFaceDataset(n_val, cfg.size,
-                                      keys=val_keys or keys,
-                                      seed=cfg.seed, start=10_000))
+                                      num_ids=num_ids, seed=cfg.seed),
+                ProceduralFaceDataset(n_val, cfg.size, num_ids=num_ids,
+                                      keys=val_keys or keys, **val_kw))
     if cfg.synthetic:
         mk = lambda n, k: SyntheticFaceDataset(  # noqa: E731
             n, cfg.size, keys=k, seed=cfg.seed)

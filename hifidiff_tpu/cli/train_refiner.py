@@ -95,6 +95,8 @@ class Config:
     ckpt_dir: str = "checkpoints/refiner"
     use_wandb: bool = False
     resume: bool = False
+    stop_after_epoch: int = -1  # >=0: checkpoint + stop after this epoch
+    # (clean mid-run interruption; resume with the SAME --num-epochs)
 
 
 def main(argv=None) -> None:
@@ -245,9 +247,19 @@ def main(argv=None) -> None:
         logger.log({"val_psnr": float(np.mean(psnrs)),
                     "val_ssim": float(np.mean(ssims))}, step)
 
-        if epoch % cfg.save_epoch == 0 or epoch == cfg.num_epochs - 1:
+        last = (epoch == cfg.num_epochs - 1
+                or epoch == cfg.stop_after_epoch)
+        if epoch % cfg.save_epoch == 0 or last:
             if is_main_process():
                 ckpt.save(step, jax.device_get(state), wait=True)
+        if epoch == cfg.stop_after_epoch:
+            # clean mid-run interruption (after checkpointing): lets a
+            # kill-and-resume be exercised/bounded with the SAME
+            # --num-epochs both times, i.e. the same cosine LR schedule a
+            # single uninterrupted run would see (total_steps is derived
+            # from num_epochs at line ~170)
+            print(f"stopping after epoch {epoch} (--stop-after-epoch)")
+            break
     ckpt.close()
     logger.close()
 

@@ -99,7 +99,9 @@ def _cubic(x: np.ndarray) -> np.ndarray:
 def _imresize_weights(n_in: int, n_out: int, scale: float):
     """MATLAB `imresize` contribution weights/indices for one dimension,
     ANTIALIASED bicubic (scale < 1 widens the kernel by 1/scale — the
-    pyiqa/basicsr `imresize` used for NIQE's second scale)."""
+    pyiqa/basicsr `imresize` used for NIQE's second scale). Out-of-range
+    taps use MATLAB's SYMMETRIC (mirror) boundary map
+    `aux = [1:n, n:-1:1]`, not replicate-clipping."""
     kernel_width = 4.0 / scale if scale < 1 else 4.0
     u = (np.arange(n_out) + 0.5) / scale - 0.5
     left = np.floor(u - kernel_width / 2).astype(int)
@@ -108,15 +110,20 @@ def _imresize_weights(n_in: int, n_out: int, scale: float):
     dist = u[:, None] - idx
     w = _cubic(dist * scale) * scale if scale < 1 else _cubic(dist)
     w = w / w.sum(axis=1, keepdims=True)
-    idx = np.clip(idx, 0, n_in - 1)          # replicate border
+    # MATLAB mirror map: index i (0-based, any integer) -> aux[mod(i, 2n)]
+    # with aux = [0..n-1, n-1..0]
+    aux = np.concatenate([np.arange(n_in), np.arange(n_in)[::-1]])
+    idx = aux[np.mod(idx, 2 * n_in)]
     return w, idx
 
 
 def imresize_half(img: np.ndarray) -> np.ndarray:
-    """MATLAB/pyiqa `imresize(img, scale=0.5)` with antialiasing, (H, W)."""
+    """MATLAB/pyiqa `imresize(img, scale=0.5)` with antialiasing, (H, W).
+    Output size follows MATLAB: ceil(n * scale)."""
     h, w = img.shape
-    wy, iy = _imresize_weights(h, h // 2, 0.5)
-    wx, ix = _imresize_weights(w, w // 2, 0.5)
+    ho, wo = math.ceil(h * 0.5), math.ceil(w * 0.5)
+    wy, iy = _imresize_weights(h, ho, 0.5)
+    wx, ix = _imresize_weights(w, wo, 0.5)
     tmp = np.einsum("op,opw->ow", wy, img[iy, :])          # rows
     return np.einsum("op,hop->ho", wx, tmp[:, ix])         # cols
 

@@ -34,6 +34,18 @@ def np_cubic(x):
             * ((ax > 1) & (ax <= 2)))
 
 
+def _mirror(i, n):
+    """MATLAB symmetric boundary: reflect an arbitrary integer index into
+    [0, n) per aux=[1:n, n:-1:1] — recursive reflection, no wraparound
+    tables (deliberately different from the implementation's aux map)."""
+    while i < 0 or i >= n:
+        if i < 0:
+            i = -i - 1
+        if i >= n:
+            i = 2 * n - 1 - i
+    return i
+
+
 def np_imresize_half(img):
     """MATLAB imresize(scale=0.5, bicubic, antialias) — direct per-output
     loop (slow, independent of the vectorized implementation)."""
@@ -41,7 +53,7 @@ def np_imresize_half(img):
 
     def one_dim(a, axis):
         n_in = a.shape[axis]
-        n_out = n_in // 2
+        n_out = math.ceil(n_in * 0.5)
         out_shape = list(a.shape)
         out_shape[axis] = n_out
         out = np.zeros(out_shape)
@@ -52,7 +64,7 @@ def np_imresize_half(img):
             js = np.arange(left, left + 10)
             w = np_cubic((u - js) * 0.5) * 0.5
             w = w / w.sum()
-            js = np.clip(js, 0, n_in - 1)
+            js = np.asarray([_mirror(int(j), n_in) for j in js])
             sl = [slice(None)] * a.ndim
             acc = np.zeros([s for i, s in enumerate(a.shape) if i != axis])
             for wi, ji in zip(w, js):

@@ -186,9 +186,9 @@ class TestFastWarp:
                                    atol=2e-5, rtol=1e-5)
 
     def test_rowwin_k16_branch_matches_gather(self, monkeypatch):
-        """Mid shear: span in (K_SMALL, K] -> the lax.cond picks the K=16
-        packed kernel (not the K=4 fast variant, not the gather
-        fallback); must stay exact bilinear."""
+        """Mid shear: span > K_SMALL but <= K -> the default dispatch
+        stays on the K=16 kernel (not the gather fallback); must stay
+        exact bilinear."""
         from hifidiff_tpu.ops.warp import affine_warp
 
         monkeypatch.setenv("HIFIDIFF_FORCE_FAST_WARP", "1")
@@ -196,6 +196,28 @@ class TestFastWarp:
         theta = jnp.tile(jnp.asarray(
             [[1.0, 0.02, 0.01], [0.12, 1.0, -0.02]], jnp.float32)[None],
             (2, 1, 1))  # ay=0.12 -> span ~ 0.12*63+3 ~ 10.6: K=16 branch
+        fast = affine_warp(x, theta)
+        ref = affine_warp(x, theta, method="gather")
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
+    @pytest.mark.parametrize("mode_env", ["HIFIDIFF_WARP_PACKED",
+                                          "HIFIDIFF_WARP_ADAPTIVE"])
+    @pytest.mark.parametrize("shear", [0.005, 0.12, 0.9])
+    def test_env_gated_variants_match_gather(self, monkeypatch, mode_env,
+                                             shear):
+        """The opt-in lane-PACKED kernel body and the span-ADAPTIVE
+        K4/K16/gather dispatch must both stay exact bilinear across the
+        near-identity (K=4-eligible), mid-shear (K=16) and extreme-shear
+        (gather-fallback) regimes."""
+        from hifidiff_tpu.ops.warp import affine_warp
+
+        monkeypatch.setenv("HIFIDIFF_FORCE_FAST_WARP", "1")
+        monkeypatch.setenv(mode_env, "1")
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, 32, 32, 8))
+        theta = jnp.tile(jnp.asarray(
+            [[1.0, 0.01, 0.02], [shear, 1.0, -0.01]], jnp.float32)[None],
+            (2, 1, 1))
         fast = affine_warp(x, theta)
         ref = affine_warp(x, theta, method="gather")
         np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),

@@ -55,6 +55,28 @@ class TestProceduralData:
         # different pose draw -> different lr
         assert np.abs(train[0]["lr"] - val[0]["lr"]).max() > 1e-4
 
+    def test_smoke_datasets_val_semantics(self):
+        """cli/common.smoke_datasets: pose-dependent (lr) stages validate
+        on SAME identities / unseen poses; image-only stages (VAE) on
+        UNSEEN identities — a start offset alone would reproduce the
+        train frontals bit-exactly (pose-independent renders)."""
+        import types
+
+        from hifidiff_tpu.cli.common import smoke_datasets
+
+        cfg = types.SimpleNamespace(procedural=16, synthetic=0, size=32,
+                                    seed=0)
+        tr, va = smoke_datasets(cfg, ("lr", "gt"))
+        np.testing.assert_array_equal(tr[0]["gt"], va[0]["gt"])  # same ids
+        assert np.abs(tr[0]["lr"] - va[0]["lr"]).max() > 1e-4   # new poses
+
+        tr, va = smoke_datasets(cfg, ("image",))
+        # unseen identities: no val image may equal any train image
+        train_imgs = [tr[i]["image"] for i in range(len(tr))]
+        for j in range(len(va)):
+            assert all(np.abs(va[j]["image"] - t).max() > 1e-3
+                       for t in train_imgs)
+
     def test_component_boxes_cover_features(self):
         idp = _identity_params(0, 0)
         boxes = component_boxes(idp, 32)
