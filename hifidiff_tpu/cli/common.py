@@ -95,10 +95,12 @@ def smoke_datasets(cfg, keys, val_keys=None):
 
         n_val = max(4, cfg.procedural // 4)
         pose_dependent = "lr" in set(val_keys or keys)
-        # identity diversity scales with the requested set size (a fixed 8
-        # identities caps unseen-identity generalization of the image-only
-        # stages)
-        num_ids = max(8, cfg.procedural // 4)
+        # image-only stages: identity diversity scales with the set size
+        # (8 fixed identities caps unseen-identity generalization of the
+        # VAE/denoiser); triplet/restoration stages keep the default-8
+        # identity space (each id seen 8x per 64 samples — a denser space
+        # whose triplets are NOT trivially margin-satisfied at init)
+        num_ids = 8 if pose_dependent else max(8, cfg.procedural // 4)
         val_kw = (dict(seed=cfg.seed, start=10_000) if pose_dependent
                   else dict(seed=cfg.seed + 7919))
         return (ProceduralFaceDataset(cfg.procedural, cfg.size, keys=keys,
