@@ -71,6 +71,13 @@ def main() -> None:
                    help=">1 enables encoder-propagation caching: full UNet "
                         "every k-th step, decoder-only between (approximate "
                         "sampling)")
+    p.add_argument("--sampler", choices=["ddim", "dpmpp"], default="ddim",
+                   help="dpmpp = DPM-Solver++ (2M): 2nd-order multistep "
+                        "(solver-accuracy verified, tests/test_dpmpp.py). "
+                        "Measured on the trained demo stack "
+                        "(scripts/cache_quality.py): plain DDIM step "
+                        "reduction was at least as good there — quality "
+                        "data before picking a fast mode")
     p.add_argument("--workload", choices=["infer", "train", "host"],
                    default="infer",
                    help="train = stage-3 denoiser pretraining step "
@@ -182,7 +189,8 @@ def main() -> None:
     pipe_cfg = RefinerPipelineConfig(num_inference_steps=args.steps,
                                      unroll=args.unroll, io_uint8=True,
                                      cache_interval=args.cache_interval,
-                                     hoist_invariants=not args.no_hoist)
+                                     hoist_invariants=not args.no_hoist,
+                                     sampler=args.sampler)
     lr_images = (jax.random.uniform(key, (args.batch, 128, 128, 3)) * 255
                  ).astype(jnp.uint8)
 
@@ -305,8 +313,9 @@ def main() -> None:
     log(f"flops/face={flops_per_face:.3e}, baseline_est="
         f"{baseline_faces_per_sec:.2f} faces/s (A100 torch, analytic)")
 
+    sampler_tag = ("ddim" if args.sampler == "ddim" else "dpmpp")
     result = {
-        "metric": "faces_per_sec_per_chip_128px_ddim50",
+        "metric": f"faces_per_sec_per_chip_128px_{sampler_tag}{args.steps}",
         "value": round(faces_per_sec, 3),
         "unit": "faces/sec",
         "vs_baseline": round(faces_per_sec / baseline_faces_per_sec, 3),

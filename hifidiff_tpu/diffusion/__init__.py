@@ -4,6 +4,7 @@ from hifidiff_tpu.diffusion.sampling import (
     sample_ddim,
     sample_ddim_cached,
     sample_ddpm,
+    sample_dpmpp_2m,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "sample_ddim",
     "sample_ddim_cached",
     "sample_ddpm",
+    "sample_dpmpp_2m",
 ]

@@ -184,6 +184,114 @@ def sample_ddim_cached(
     return final
 
 
+def dpmpp_2m_coeffs(schedule: DiffusionSchedule, num_inference_steps: int,
+                    steps_offset: int = 0):
+    """Host-side per-step constants for DPM-Solver++ (2M).
+
+    All solver math that does not involve the sample is precomputed here in
+    float64 numpy (exactly once, outside the scan): timesteps (same
+    'leading' spacing as our DDIM for pipeline consistency), the
+    half-log-SNR grid lambda = ln(alpha/sigma) with alpha = sqrt(acp),
+    sigma = sqrt(1-acp), the step sizes h, and the first/second-order
+    update coefficients. The final boundary is alpha_bar = 1 (sigma = 0,
+    diffusers set_alpha_to_one / final_sigmas_type='zero'): lambda -> +inf
+    there, which is why the last step is forced first-order (D1's 1/r0
+    blows up; diffusers' lower_order_final exists for the same reason) —
+    the masked h keeps every precomputed coefficient finite.
+    """
+    acp = np.asarray(schedule.alphas_cumprod, dtype=np.float64)
+    ts = ddim_timesteps(schedule.num_train_timesteps, num_inference_steps,
+                        steps_offset)
+    prev_ts = ts - schedule.num_train_timesteps // num_inference_steps
+    acp_t = acp[ts]
+    acp_next = np.where(prev_ts >= 0, acp[np.clip(prev_ts, 0, None)], 1.0)
+
+    alpha_t, sigma_t = np.sqrt(acp_t), np.sqrt(1.0 - acp_t)
+    alpha_n, sigma_n = np.sqrt(acp_next), np.sqrt(1.0 - acp_next)
+    lam_t = np.log(alpha_t) - np.log(np.maximum(sigma_t, 1e-300))
+    lam_n = np.log(alpha_n) - np.log(np.maximum(sigma_n, 1e-300))
+    h = lam_n - lam_t                      # > 0; +inf at the final step
+    finite = np.isfinite(h)
+    h_safe = np.where(finite, h, 1.0)
+    ehm1 = np.where(finite, np.expm1(-h_safe), -1.0)   # exp(-h) - 1
+
+    # x_next = c_x * x + c_d0 * m0 + c_d1 * (m0 - m_prev)
+    c_x = np.where(sigma_t > 0, sigma_n / np.maximum(sigma_t, 1e-300), 0.0)
+    c_d0 = -alpha_n * ehm1
+    # second-order (midpoint) term: -alpha_n*(e^{-h}-1) * 0.5 * D1 with
+    # D1 = (m0 - m_prev) / r0, r0 = h_prev / h
+    h_prev = np.concatenate([[1.0], h_safe[:-1]])
+    r0 = h_prev / h_safe
+    use2 = np.ones(num_inference_steps, bool)
+    use2[0] = False                        # no m_prev yet
+    use2[-1] = False                       # lower_order_final (see above)
+    c_d1 = np.where(use2, c_d0 * 0.5 / r0, 0.0)
+    return {
+        "t": ts.astype(np.float64),
+        "acp_t": acp_t,
+        "c_x": c_x, "c_d0": c_d0, "c_d1": c_d1,
+    }
+
+
+def sample_dpmpp_2m(
+    eps_fn: EpsFn,
+    latents: jax.Array,
+    schedule: DiffusionSchedule,
+    num_inference_steps: int = 20,
+    clip_sample: bool = False,
+    clip_sample_range: float = 1.0,
+    steps_offset: int = 0,
+    unroll: int = 1,
+    per_step_aux=None,
+) -> jax.Array:
+    """DPM-Solver++ (2M): second-order multistep ODE solver, one scan.
+
+    Matches diffusers' DPMSolverMultistepScheduler semantics
+    (algorithm_type='dpmsolver++', solver_order=2, solver_type='midpoint',
+    epsilon prediction, final sigma 0) on our 'leading' timestep grid; the
+    final step is always first-order (lower_order_final — see
+    `dpmpp_2m_coeffs`). The reference samples DDIM-50
+    (`test_refiner.py:85-91`); a second-order solver reaches comparable
+    sample quality in ~20 steps, and since the 50-step scan is ~half the
+    exact pipeline's wall time this is the principled (solver-accuracy-
+    bounded, not feature-dropping) fast path. Verified by an order-of-
+    convergence test against an exact-epsilon Gaussian oracle and a
+    float64 numpy cross-implementation (`tests/test_dpmpp.py`).
+
+    Carry = (x, m_prev): the previous step's x0-prediction is the 2M
+    multistep state; per-step update is
+        m0     = (x - sigma_t * eps) / alpha_t          (x0 from epsilon)
+        x_next = c_x * x + c_d0 * m0 + c_d1 * (m0 - m_prev)
+    with all coefficients precomputed host-side.
+    """
+    co = dpmpp_2m_coeffs(schedule, num_inference_steps, steps_offset)
+    xs = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in co.items()}
+    if per_step_aux is not None:
+        xs["aux"] = per_step_aux
+    batch = latents.shape[0]
+
+    def step(carry, c):
+        x, m_prev = carry
+        t_batch = jnp.full((batch,), c["t"], dtype=jnp.float32)
+        eps = (eps_fn(x, t_batch) if per_step_aux is None
+               else eps_fn(x, t_batch, c["aux"]))
+        # solver math in f32 (the D1 difference is precision-sensitive);
+        # the sample carry keeps the caller's dtype (bf16 latents stay bf16
+        # through the scan, the model sees its native input dtype)
+        m0 = _x0_from_eps(x.astype(jnp.float32), eps.astype(jnp.float32),
+                          c["acp_t"])
+        if clip_sample:
+            m0 = jnp.clip(m0, -clip_sample_range, clip_sample_range)
+        x_next = (c["c_x"] * x.astype(jnp.float32) + c["c_d0"] * m0
+                  + c["c_d1"] * (m0 - m_prev))
+        return (x_next.astype(x.dtype), m0), None
+
+    m0_init = jnp.zeros(latents.shape, jnp.float32)
+    (final, _), _ = jax.lax.scan(step, (latents, m0_init), xs,
+                                 unroll=unroll)
+    return final
+
+
 def sample_ddpm(
     eps_fn: EpsFn,
     latents: jax.Array,

@@ -69,6 +69,7 @@ class Config:
     seed: int = 0
     steps: int = 50
     intervals: str = "2,3,5"
+    dpmpp_steps: str = "10,15,20"
     platform: str = "cpu"   # the tiny 32px stack needs no TPU; "" = default
 
 
@@ -136,7 +137,8 @@ def main(argv=None) -> dict:
                                            pipe_cfg)
     exact = np.asarray(exact_fn(variables, batch["lr"], key), np.float32)
     result = {"trained": trained, "size": cfg.size, "steps": cfg.steps,
-              "exact_gt_psnr": round(gt_psnr(exact), 2), "intervals": {}}
+              "exact_gt_psnr": round(gt_psnr(exact), 2), "intervals": {},
+              "dpmpp": {}}
 
     for k in (int(s) for s in cfg.intervals.split(",")):
         fn = build_refiner_sampler_split(
@@ -149,6 +151,22 @@ def main(argv=None) -> dict:
         print(f"k={k}: drift {row['drift_psnr']:.2f} dB, "
               f"gt {row['gt_psnr']:.2f} dB "
               f"(exact gt {result['exact_gt_psnr']:.2f})", flush=True)
+
+    # DPM-Solver++ (2M) at reduced step counts vs the DDIM-50 exact path:
+    # the solver-accuracy-bounded fast mode (`--sampler dpmpp` in bench.py)
+    for n in (int(s) for s in cfg.dpmpp_steps.split(",")):
+        fn = build_refiner_sampler_split(
+            refiner, cr, vae, schedule,
+            dataclasses.replace(pipe_cfg, sampler="dpmpp",
+                                num_inference_steps=n))
+        out = np.asarray(fn(variables, batch["lr"], key), np.float32)
+        row = {"drift_psnr": round(drift_psnr(out, exact), 2),
+               "gt_psnr": round(gt_psnr(out), 2)}
+        result["dpmpp"][str(n)] = row
+        print(f"dpmpp@{n}: drift {row['drift_psnr']:.2f} dB, "
+              f"gt {row['gt_psnr']:.2f} dB "
+              f"(ddim@{cfg.steps} gt {result['exact_gt_psnr']:.2f})",
+              flush=True)
 
     print(json.dumps(result))
     return result
