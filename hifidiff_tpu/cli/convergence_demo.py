@@ -139,6 +139,21 @@ def main(argv=None) -> dict:
     summary["idc"] = {"train_loss_first": tl[0], "train_loss_final": tl[-1]}
     print(f"[idc] train {tl[0]:.4f} -> {tl[-1]:.4f}", flush=True)
 
+    # identity-verification accuracy on held-out poses (the reference's
+    # `test_idc.py` end metric; measured: random-init ~0.5/0.62 batch/
+    # sample, trained 1.0/1.0 with cos-sim 0.82 vs 0.25)
+    from hifidiff_tpu.cli import test_idc
+
+    acc = test_idc.main([
+        "--procedural", str(cfg.n), "--size", str(cfg.size),
+        "--batch-size", str(cfg.batch_size), "--seed", str(cfg.seed),
+        "--cr-ckpt", ck("cr/" + cfg.name), "--cr-width", "32",
+        "--cr-enc-depths", "1,1", "--cr-mid-depth", "1",
+        "--idc-ckpt", ck("idc/" + cfg.name), "--idc-stages", "1,1,1,1"])
+    summary["idc"].update(acc)
+    print(f"[idc] verification accuracy {acc['sample_accuracy']:.3f}",
+          flush=True)
+
     # ---- stage 3: denoiser --------------------------------------------
     from hifidiff_tpu.cli import pretrain_denoiser
 
@@ -226,6 +241,8 @@ def main(argv=None) -> dict:
             "CR val loss did not improve (no generalization)"
         assert s["idc"]["train_loss_final"] < s["idc"]["train_loss_first"], \
             "IDC triplet loss did not drop"
+        assert s["idc"]["sample_accuracy"] > 0.9, \
+            "trained IDC does not verify identity on held-out poses"
         assert (s["denoiser"]["train_loss_final"]
                 < s["denoiser"]["train_loss_first"]), \
             "denoiser loss did not drop"

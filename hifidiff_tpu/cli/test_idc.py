@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hifidiff_tpu.cli.common import SyntheticFaceDataset, parse_config
+from hifidiff_tpu.cli.common import parse_config
 from hifidiff_tpu.data import KFaceIDCDataset, Loader
 from hifidiff_tpu.eval.metrics import identity_cosine
 from hifidiff_tpu.models import CoarseRestoration, IDCEncoder
@@ -33,12 +33,14 @@ class Config:
     size: int = 128
     cr_width: int = 32
     cr_enc_depths: str = "2,2,4,8"
+    cr_mid_depth: int = 8
     idc_stages: str = "3,4,6,3"
     seed: int = 0
     synthetic: int = 0
+    procedural: int = 0
 
 
-def main(argv=None) -> None:
+def main(argv=None) -> dict:
     cfg = parse_config(Config, argv, "IDC identity verification eval")
     key = jax.random.PRNGKey(cfg.seed)
     from hifidiff_tpu.cli.common import parse_ints
@@ -46,7 +48,8 @@ def main(argv=None) -> None:
 
     cr_enc = parse_ints(cfg.cr_enc_depths)
     cr = CoarseRestoration(width=cfg.cr_width, resolution=cfg.size,
-                           enc_nums=cr_enc, dec_nums=(2,) * len(cr_enc))
+                           enc_nums=cr_enc, mid_num=cfg.cr_mid_depth,
+                           dec_nums=(2,) * len(cr_enc))
     if cfg.cr_ckpt:
         cr_params = ti.cr_params(ti.load_torch_file(cfg.cr_ckpt)) \
             if cfg.cr_ckpt.endswith((".pt", ".pth", ".safetensors")) \
@@ -69,9 +72,11 @@ def main(argv=None) -> None:
             k, jnp.zeros((1, cfg.size, cfg.size, 3)), train=False))(key)
         p, s = v["params"], v["batch_stats"]
 
-    if cfg.synthetic:
-        ds = SyntheticFaceDataset(cfg.synthetic, cfg.size,
-                                  keys=("lr", "gt", "other"))
+    from hifidiff_tpu.cli.common import smoke_datasets
+
+    smoke = smoke_datasets(cfg, ("lr", "gt", "other"))
+    if smoke is not None:
+        ds = smoke[1]   # held-out split (never-trained poses)
     else:
         ds = KFaceIDCDataset(cfg.dataroot, split="test", size=cfg.size)
     loader = Loader(ds, cfg.batch_size, shuffle=False)
@@ -99,10 +104,12 @@ def main(argv=None) -> None:
               f"{sim_hf.mean():.4f} {sim_ck.mean():.4f} "
               f"{'OK' if sim_hf.mean() > sim_ck.mean() else 'X'}")
 
+    out = {"batch_accuracy": batch_correct / max(1, n_batches),
+           "sample_accuracy": sample_correct / max(1, n_samples)}
     print(f"test accuracy (batch-mean, reference convention): "
-          f"{batch_correct / max(1, n_batches):.4f}")
-    print(f"test accuracy (per-sample): "
-          f"{sample_correct / max(1, n_samples):.4f}")
+          f"{out['batch_accuracy']:.4f}")
+    print(f"test accuracy (per-sample): {out['sample_accuracy']:.4f}")
+    return out
 
 
 if __name__ == "__main__":
