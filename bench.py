@@ -132,14 +132,17 @@ def main() -> None:
         if args.verbose:
             print(*a, file=sys.stderr, flush=True)
 
+    if args.workload == "host":
+        # pure-host benchmark: never touch jax.devices() — the backend may
+        # be a (possibly unreachable) TPU tunnel and this path needs none
+        bench_host(args, log)
+        return
+
     log("devices:", jax.devices())
     key = jax.random.PRNGKey(0)
 
     if args.workload == "train":
         bench_train(args, dtype, key, log)
-        return
-    if args.workload == "host":
-        bench_host(args, log)
         return
 
     cr = CoarseRestoration(dtype=dtype)
