@@ -97,9 +97,10 @@ def main() -> None:
                         "iterations")
     p.add_argument("--no-hoist", action="store_true",
                    help="disable scan-invariant hoisting (A/B diagnostics)")
-    p.add_argument("--stage-times", type=int, default=1,
+    p.add_argument("--stage-times", type=int, nargs="?", const=1, default=1,
                    help="split mode: measure per-stage (prep/scan/decode) "
-                        "times; included in the JSON line (0 disables)")
+                        "times; included in the JSON line (0 disables; "
+                        "bare --stage-times still accepted as 1)")
     p.add_argument("--roofline", action="store_true",
                    help="measure the chip's compute/bandwidth envelope "
                         "(bf16 matmul TFLOP/s at several shapes, HBM GB/s), "
@@ -277,7 +278,8 @@ def main() -> None:
         p50 = lats_ms[len(lats_ms) // 2]
         p95 = lats_ms[int(len(lats_ms) * 0.95)]
         print(json.dumps({
-            "metric": f"latency_ms_batch{args.batch}_128px_ddim{args.steps}",
+            "metric": (f"latency_ms_batch{args.batch}_128px_"
+                       f"{args.sampler}{args.steps}"),
             "value": round(p50, 1), "unit": "ms",
             "vs_baseline": 0.0,   # latency has no A100 baseline analogue
             "p95": round(p95, 1),

@@ -59,9 +59,9 @@ def load_vae_params(vae, vae_ckpt: str, key, size: int):
     import jax.numpy as jnp
 
     if vae_ckpt and os.path.isdir(vae_ckpt):
-        from hifidiff_tpu.train.checkpoint import CheckpointManager
+        from hifidiff_tpu.train.checkpoint import restore_state
 
-        params = CheckpointManager(vae_ckpt).restore()["state"]["params"]
+        params = restore_state(vae_ckpt)["state"]["params"]
         print(f"loaded VAE weights from orbax dir {vae_ckpt}")
         return params
     if vae_ckpt:

@@ -51,6 +51,10 @@ class Config:
     seed: int = 0
     check: bool = True          # assert convergence criteria
     name: str = "convdemo"
+    platform: str = ""          # e.g. "cpu": force the backend before any
+    # device touch (the 32px demo is CPU-scale; lets it run when the TPU
+    # tunnel is down — an env var cannot override the harness's
+    # JAX_PLATFORMS pin, only jax.config.update can)
 
 
 def _read_jsonl_since(path: str, offset: int):
@@ -68,6 +72,10 @@ def _series(rows, field):
 
 def main(argv=None) -> dict:
     cfg = parse_config(Config, argv, "End-to-end convergence demo")
+    if cfg.platform:
+        import jax
+
+        jax.config.update("jax_platforms", cfg.platform)
     os.makedirs(cfg.out_dir, exist_ok=True)
     ck = lambda s: os.path.join(cfg.out_dir, "ckpt", s)  # noqa: E731
     out = lambda s: os.path.join(cfg.out_dir, "img", s)  # noqa: E731
@@ -76,7 +84,7 @@ def main(argv=None) -> dict:
     unet_flags = ["--width", "32", "--enc-depths", "1,1", "--mid-depth", "1"]
     common = ["--procedural", str(cfg.n), "--size", str(cfg.size),
               "--batch-size", str(cfg.batch_size), "--seed", str(cfg.seed),
-              "--name", cfg.name]
+              "--name", cfg.name, "--log-dir", cfg.log_dir]
 
     summary = {}
     offsets = {}

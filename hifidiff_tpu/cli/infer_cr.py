@@ -20,7 +20,7 @@ from PIL import Image
 
 from hifidiff_tpu.cli.common import parse_config
 from hifidiff_tpu.models import CoarseRestoration
-from hifidiff_tpu.train.checkpoint import CheckpointManager
+from hifidiff_tpu.train.checkpoint import restore_state
 from hifidiff_tpu.utils.logging import save_image_grid
 
 
@@ -52,7 +52,7 @@ def load_cr(cfg: Config, key):
 
         params = ti.cr_params(ti.load_torch_file(cfg.ckpt))
     elif cfg.ckpt:
-        params = CheckpointManager(cfg.ckpt).restore()["state"]["params"]
+        params = restore_state(cfg.ckpt)["state"]["params"]
     else:
         print("[warn] no --ckpt: random CR weights")
         params = jax.jit(model.init)(

@@ -48,6 +48,7 @@ from hifidiff_tpu.vae import AutoencoderKL
 @dataclasses.dataclass
 class Config:
     name: str = "temp"
+    log_dir: str = "logs"
     multipie_root: str = ""
     celeba_root: str = ""
     vae_ckpt: str = ""
@@ -141,7 +142,7 @@ def main(argv=None) -> None:
         denoiser, vae, schedule, latent_size=latent,
         batch=cfg.sample_size))
 
-    logger = MetricsLogger("logs", "hifi_denoiser", cfg.name,
+    logger = MetricsLogger(cfg.log_dir, "hifi_denoiser", cfg.name,
                            use_wandb=cfg.use_wandb)
     timer = StepTimer()
     step = int(state.step)

@@ -30,7 +30,7 @@ from hifidiff_tpu.parallel import (
     replicate_global,
     shard_batch,
 )
-from hifidiff_tpu.train.checkpoint import CheckpointManager
+from hifidiff_tpu.train.checkpoint import CheckpointManager, restore_state
 from hifidiff_tpu.train.losses import triplet_margin_loss
 from hifidiff_tpu.train.optim import adam
 from hifidiff_tpu.train.steps import TrainState, make_idc_train_step
@@ -40,6 +40,7 @@ from hifidiff_tpu.utils.logging import MetricsLogger, StepTimer
 @dataclasses.dataclass
 class Config:
     name: str = "temp"
+    log_dir: str = "logs"
     dataroot: str = ""
     cr_ckpt: str = ""
     num_epochs: int = 24
@@ -65,7 +66,7 @@ def load_cr_params(cfg: Config, model: CoarseRestoration, key):
 
         if cfg.cr_ckpt.endswith((".pt", ".pth", ".safetensors")):
             return ti.cr_params(ti.load_torch_file(cfg.cr_ckpt))
-        restored = CheckpointManager(cfg.cr_ckpt).restore()
+        restored = restore_state(cfg.cr_ckpt)
         return restored["state"]["params"]
     print("[warn] no --cr-ckpt: using a randomly initialized CR")
     return jax.jit(model.init)(
@@ -133,7 +134,7 @@ def main(argv=None) -> None:
 
     eval_step = jax.jit(eval_fn)
 
-    logger = MetricsLogger("logs", "hifi_idc", cfg.name,
+    logger = MetricsLogger(cfg.log_dir, "hifi_idc", cfg.name,
                            use_wandb=cfg.use_wandb)
     timer = StepTimer()
     step = int(state.step)

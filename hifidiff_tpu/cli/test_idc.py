@@ -21,7 +21,7 @@ from hifidiff_tpu.cli.common import parse_config
 from hifidiff_tpu.data import KFaceIDCDataset, Loader
 from hifidiff_tpu.eval.metrics import identity_cosine
 from hifidiff_tpu.models import CoarseRestoration, IDCEncoder
-from hifidiff_tpu.train.checkpoint import CheckpointManager
+from hifidiff_tpu.train.checkpoint import restore_state
 
 
 @dataclasses.dataclass
@@ -53,7 +53,7 @@ def main(argv=None) -> dict:
     if cfg.cr_ckpt:
         cr_params = ti.cr_params(ti.load_torch_file(cfg.cr_ckpt)) \
             if cfg.cr_ckpt.endswith((".pt", ".pth", ".safetensors")) \
-            else CheckpointManager(cfg.cr_ckpt).restore()["state"]["params"]
+            else restore_state(cfg.cr_ckpt)["state"]["params"]
     else:
         print("[warn] random CR weights")
         cr_params = jax.jit(cr.init)(
@@ -64,7 +64,7 @@ def main(argv=None) -> dict:
         if cfg.idc_ckpt.endswith((".pt", ".pth", ".safetensors")):
             p, s = ti.resnet50_params(ti.load_torch_file(cfg.idc_ckpt))
         else:
-            st = CheckpointManager(cfg.idc_ckpt).restore()["state"]
+            st = restore_state(cfg.idc_ckpt)["state"]
             p, s = st["params"], st["batch_stats"]
     else:
         print("[warn] random IDC weights")

@@ -23,19 +23,15 @@ import numpy as np
 from hifidiff_tpu.cli.common import parse_config
 from hifidiff_tpu.data import KFaceDataset, Loader
 from hifidiff_tpu.diffusion import DiffusionSchedule
-from hifidiff_tpu.eval.metrics import (
-    min_max_normalize,
-    psnr_pyiqa,
-    ssim_pyiqa,
-)
+from hifidiff_tpu.eval.metrics import reference_eval_metrics
 from hifidiff_tpu.models import CoarseRestoration, FacialRefiner
 from hifidiff_tpu.pipeline import (
     RefinerPipelineConfig,
     build_refiner_sampler_split,
 )
 from hifidiff_tpu.train.checkpoint import (
-    CheckpointManager,
     compose_refiner_params,
+    restore_state,
 )
 from hifidiff_tpu.utils.logging import save_image_grid, side_by_side
 from hifidiff_tpu.vae import AutoencoderKL
@@ -74,7 +70,7 @@ class Config:
     lpips_ckpt: str = ""        # lpips linear-head state_dict (for LPIPS)
 
 
-def main(argv=None) -> None:
+def main(argv=None) -> dict:
     cfg = parse_config(Config, argv, "Full-pipeline eval")
     key = jax.random.PRNGKey(cfg.seed)
     from hifidiff_tpu.cli.common import parse_ints
@@ -105,7 +101,7 @@ def main(argv=None) -> None:
                 enc_nums=parse_ints(cfg.enc_depths), mid_num=cfg.mid_depth,
                 dec_nums=parse_ints(cfg.dec_depths))
         else:
-            st = CheckpointManager(cfg.refiner_ckpt).restore()["state"]
+            st = restore_state(cfg.refiner_ckpt)["state"]
             variables = {"params": st["params"],
                          "batch_stats": st["batch_stats"]}
     else:
@@ -116,7 +112,7 @@ def main(argv=None) -> None:
     if cfg.cr_ckpt:
         cr_params = ti.cr_params(ti.load_torch_file(cfg.cr_ckpt)) \
             if cfg.cr_ckpt.endswith((".pt", ".pth", ".safetensors")) \
-            else CheckpointManager(cfg.cr_ckpt).restore()["state"]["params"]
+            else restore_state(cfg.cr_ckpt)["state"]["params"]
     else:
         print("[warn] random CR weights")
         cr_params = jax.jit(cr.init)(
@@ -170,15 +166,11 @@ def main(argv=None) -> None:
         batch = shard_batch(batch, mesh)
         pred = sampler(sample_vars, batch["lr"],
                        jax.random.fold_in(key, i))
-        # reference conventions, end to end (`test_refiner.py:107-131`):
-        # batch-GLOBAL min-max normalization of pred and gt, pyiqa 'psnr'
-        # (per-image RGB, data_range 1, then mean) and pyiqa 'ssim'
-        # (BT.601 Y channel, MATLAB window/border rules) — pinned by
-        # tests/test_pyiqa_golden.py
-        pred_n = min_max_normalize(pred, per_sample=False)
-        gt_n = min_max_normalize(batch["gt"], per_sample=False)
-        psnrs.append(float(jnp.mean(psnr_pyiqa(pred_n, gt_n))))
-        ssims.append(float(jnp.mean(ssim_pyiqa(pred_n, gt_n))))
+        # reference conventions, end to end (`test_refiner.py:107-131`),
+        # via the shared jitted helper (one dispatch per batch)
+        m, pred_n, gt_n = reference_eval_metrics(pred, batch["gt"])
+        psnrs.append(float(m["psnr"]))
+        ssims.append(float(m["ssim"]))
         if lpips_fn is not None:
             lpipss.append(float(jnp.mean(lpips_fn(pred_n, gt_n))))
         if niqe_fn is not None:

@@ -49,6 +49,7 @@ from hifidiff_tpu.utils.logging import (
 @dataclasses.dataclass
 class Config:
     name: str = "temp"
+    log_dir: str = "logs"
     dataroot: str = ""
     model_type: str = "uni"
     num_epochs: int = 24
@@ -154,7 +155,7 @@ def main(argv=None) -> None:
                          donate_argnums=0)
     eval_step = jax.jit(make_cr_eval_step(model))
 
-    logger = MetricsLogger("logs", "hifi_cr", cfg.name,
+    logger = MetricsLogger(cfg.log_dir, "hifi_cr", cfg.name,
                            use_wandb=cfg.use_wandb)
     timer = StepTimer()
     step = int(state.step)

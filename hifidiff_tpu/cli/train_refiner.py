@@ -23,11 +23,7 @@ import numpy as np
 from hifidiff_tpu.cli.common import parse_config
 from hifidiff_tpu.data import Loader, MultiPIEDataset
 from hifidiff_tpu.diffusion import DiffusionSchedule
-from hifidiff_tpu.eval.metrics import (
-    min_max_normalize,
-    psnr_pyiqa,
-    ssim_pyiqa,
-)
+from hifidiff_tpu.eval.metrics import reference_eval_metrics
 from hifidiff_tpu.models import CoarseRestoration, FacialRefiner
 from hifidiff_tpu.parallel import (
     is_main_process,
@@ -44,6 +40,7 @@ from hifidiff_tpu.pipeline import (
     build_refiner_sampler_split,
 )
 from hifidiff_tpu.train.checkpoint import (
+    restore_state,
     CheckpointManager,
     compose_refiner_params,
 )
@@ -61,6 +58,7 @@ from hifidiff_tpu.vae import AutoencoderKL
 @dataclasses.dataclass
 class Config:
     name: str = "temp"
+    log_dir: str = "logs"
     dataroot: str = ""
     vae_ckpt: str = ""
     cr_ckpt: str = ""
@@ -150,7 +148,7 @@ def main(argv=None) -> None:
     if cfg.cr_ckpt:
         cr_params = ti.cr_params(ti.load_torch_file(cfg.cr_ckpt)) \
             if cfg.cr_ckpt.endswith((".pt", ".pth", ".safetensors")) \
-            else CheckpointManager(cfg.cr_ckpt).restore()["state"]["params"]
+            else restore_state(cfg.cr_ckpt)["state"]["params"]
     else:
         print("[warn] no --cr-ckpt: random CR")
         cr_params = jax.jit(cr.init)(
@@ -193,17 +191,11 @@ def main(argv=None) -> None:
         RefinerPipelineConfig(num_inference_steps=cfg.num_inference_steps,
                               latent_size=latent))
 
-    @jax.jit
-    def val_metrics(pred, gt):
-        # reference eval conventions (`test_refiner.py:113-119` batch-global
-        # min-max; pyiqa psnr/ssim definitions) so val numbers are
-        # comparable to the reported test metrics
-        pred_n = min_max_normalize(pred, per_sample=False)
-        gt_n = min_max_normalize(gt, per_sample=False)
-        return {"psnr": jnp.mean(psnr_pyiqa(pred_n, gt_n)),
-                "ssim": jnp.mean(ssim_pyiqa(pred_n, gt_n))}
+    # reference eval conventions (shared jitted helper) so val numbers are
+    # comparable to the reported test metrics
+    val_metrics = lambda pred, gt: reference_eval_metrics(pred, gt)[0]  # noqa: E731
 
-    logger = MetricsLogger("logs", "hifi_refiner", cfg.name,
+    logger = MetricsLogger(cfg.log_dir, "hifi_refiner", cfg.name,
                            use_wandb=cfg.use_wandb)
     timer = StepTimer()
     step = int(state.step)

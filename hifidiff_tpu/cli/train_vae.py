@@ -55,6 +55,7 @@ from hifidiff_tpu.vae import AutoencoderKL
 @dataclasses.dataclass
 class Config:
     name: str = "temp"
+    log_dir: str = "logs"
     multipie_root: str = ""
     celeba_root: str = ""
     num_epochs: int = 100
@@ -136,7 +137,7 @@ def main(argv=None) -> None:
         mse = jnp.mean(jnp.square(rec01 - jnp.clip(images, 0.0, 1.0)))
         return rec01, -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
 
-    logger = MetricsLogger("logs", "hifi_vae", cfg.name,
+    logger = MetricsLogger(cfg.log_dir, "hifi_vae", cfg.name,
                            use_wandb=cfg.use_wandb)
     timer = StepTimer()
     step = int(state.step)

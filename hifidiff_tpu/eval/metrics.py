@@ -109,6 +109,24 @@ def min_max_normalize(x: jax.Array, per_sample: bool = True) -> jax.Array:
     return (x - lo) / jnp.maximum(hi - lo, 1e-12)
 
 
+@jax.jit
+def reference_eval_metrics(pred: jax.Array, gt: jax.Array):
+    """The reference's exact eval convention as ONE jitted program:
+    batch-GLOBAL min-max normalization of prediction AND ground truth
+    (`test_refiner.py:113-119`), then pyiqa 'psnr' (per-image RGB, data
+    range 1, batch mean) and pyiqa 'ssim' (BT.601-Y, MATLAB window/border
+    rules) — pinned by tests/test_pyiqa_golden.py. Returns
+    ({"psnr", "ssim"}, pred_n, gt_n); the normalized tensors feed the
+    optional LPIPS/NIQE stages in `cli.test_refiner`. Shared by the
+    train-refiner val loop and the eval CLI so the convention lives in one
+    place, and jitted because eager per-op dispatch through the TPU tunnel
+    costs ~6 ms per op (docs/PERF.md)."""
+    pred_n = min_max_normalize(pred, per_sample=False)
+    gt_n = min_max_normalize(gt, per_sample=False)
+    return ({"psnr": jnp.mean(psnr_pyiqa(pred_n, gt_n)),
+             "ssim": jnp.mean(ssim_pyiqa(pred_n, gt_n))}, pred_n, gt_n)
+
+
 def identity_cosine(a: jax.Array, b: jax.Array) -> jax.Array:
     """Cosine similarity of (B, D) identity embeddings -> (B,)."""
     a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)

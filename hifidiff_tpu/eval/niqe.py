@@ -131,11 +131,18 @@ def imresize_half(img: np.ndarray) -> np.ndarray:
 def niqe_features(img: np.ndarray, patch_size: int = 96) -> np.ndarray:
     """img: (H, W) luma in [0, 255] -> (num_patches, 36) features.
 
-    Pipeline conventions match pyiqa/basicsr `calculate_niqe`: MSCN with a
-    7x7 sigma-7/6 Gaussian and replicate borders, 96x96 patches, second
-    scale via MATLAB antialiased-bicubic 0.5x `imresize` (NOT mean
+    Pipeline conventions match pyiqa/basicsr `calculate_niqe`: the image is
+    cropped to a patch-size multiple ONCE, before the scale loop (basicsr
+    `img = img[0:num_block_h*96, 0:num_block_w*96]` — so MSCN replicate
+    borders and the 0.5x resize see the crop, not the full image); MSCN
+    with a 7x7 sigma-7/6 Gaussian and replicate borders, 96x96 patches,
+    second scale via MATLAB antialiased-bicubic 0.5x `imresize` (NOT mean
     pooling) with 48x48 patches; circshift (wraparound) pairwise products;
     GGD/AGGD fits over the 0.2:0.001:10 gamma grid."""
+    ph, pw = img.shape[0] // patch_size, img.shape[1] // patch_size
+    if ph == 0 or pw == 0:
+        raise ValueError("image too small for NIQE patches")
+    img = img[:ph * patch_size, :pw * patch_size]
     kernel = _gaussian_kernel2d()
     feats_scales = []
     for scale in range(2):

@@ -23,15 +23,23 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    """Thin wrapper around orbax for train-state checkpointing."""
+    """Thin wrapper around orbax for train-state checkpointing.
 
-    def __init__(self, directory: str, max_to_keep: int = 5):
+    `create=False` opens the directory read-only: no mkdir side effects
+    on a mistyped restore path (use `restore_state` for restores)."""
+
+    def __init__(self, directory: str, max_to_keep: int = 5,
+                 create: bool = True):
         self.directory = os.path.abspath(directory)
-        os.makedirs(self.directory, exist_ok=True)
+        if create:
+            os.makedirs(self.directory, exist_ok=True)
+        elif not os.path.isdir(self.directory):
+            raise FileNotFoundError(
+                f"checkpoint directory does not exist: {self.directory}")
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
-                                                 create=True),
+                                                 create=create),
         )
 
     def save(self, step: int, state: Any, extra: Optional[Dict] = None,
@@ -59,6 +67,22 @@ class CheckpointManager:
     def close(self):
         self._mgr.wait_until_finished()
         self._mgr.close()
+
+
+def restore_state(directory: str, step: Optional[int] = None) -> Dict:
+    """Restore `{"state": ..., ...}` from an orbax directory, read-only.
+
+    A clear error for the two easy mistakes — a path that doesn't exist,
+    or one that exists but holds no step-stamped checkpoint (e.g. pointing
+    one level up at `.../ckpt` instead of `.../ckpt/cr/<name>`) — instead
+    of the opaque `None["state"]` TypeError, and without mkdir-ing the
+    bogus path as a side effect."""
+    out = CheckpointManager(directory, create=False).restore(step)
+    if out is None:
+        raise FileNotFoundError(
+            f"no orbax checkpoint found under {os.path.abspath(directory)}"
+            " (expected step-stamped subdirectories; check the path)")
+    return out
 
 
 def _merge_strict_false(init_tree: Dict, loaded: Dict) -> Dict:
@@ -109,7 +133,7 @@ def compose_refiner_params(
     stats = dict(refiner_init_vars.get("batch_stats", {}))
 
     if idc_ckpt and os.path.isdir(idc_ckpt):
-        st = CheckpointManager(idc_ckpt).restore()["state"]
+        st = restore_state(idc_ckpt)["state"]
         params["idc"] = _merge_strict_false(params["idc"], st["params"])
         if "idc" in stats and st.get("batch_stats"):
             stats["idc"] = _merge_strict_false(stats["idc"],
@@ -122,7 +146,7 @@ def compose_refiner_params(
             stats["idc"] = _merge_strict_false(stats["idc"], s)
 
     if denoiser_ckpt and os.path.isdir(denoiser_ckpt):
-        dn = CheckpointManager(denoiser_ckpt).restore()["state"]["params"]
+        dn = restore_state(denoiser_ckpt)["state"]["params"]
         params["denoiser"] = _merge_strict_false(params["denoiser"], dn)
         params["fpg"] = _merge_strict_false(params["fpg"], dn)
     elif denoiser_ckpt:

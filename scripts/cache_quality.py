@@ -53,7 +53,7 @@ from hifidiff_tpu.pipeline import (  # noqa: E402
     RefinerPipelineConfig,
     build_refiner_sampler_split,
 )
-from hifidiff_tpu.train.checkpoint import CheckpointManager  # noqa: E402
+from hifidiff_tpu.train.checkpoint import restore_state  # noqa: E402
 from hifidiff_tpu.vae import AutoencoderKL  # noqa: E402
 
 
@@ -64,7 +64,8 @@ class Config:
     name: str = "convdemo"
     size: int = 32
     width: int = 32
-    procedural: int = 64
+    procedural: int = 64   # must stay > 0 (smoke_datasets source)
+    synthetic: int = 0     # read by smoke_datasets' fallback branch
     batch_size: int = 16
     seed: int = 0
     steps: int = 50
@@ -103,13 +104,11 @@ def main(argv=None) -> dict:
     trained = bool(cfg.ckpt_root)
     if trained:
         ck = lambda s: os.path.join(cfg.ckpt_root, s, cfg.name)  # noqa: E731
-        st = CheckpointManager(ck("refiner")).restore()["state"]
+        st = restore_state(ck("refiner"))["state"]
         variables = {"refiner": {"params": st["params"],
                                  "batch_stats": st["batch_stats"]},
-                     "cr": CheckpointManager(
-                         ck("cr")).restore()["state"]["params"],
-                     "vae": CheckpointManager(
-                         ck("vae")).restore()["state"]["params"]}
+                     "cr": restore_state(ck("cr"))["state"]["params"],
+                     "vae": restore_state(ck("vae"))["state"]["params"]}
     else:
         variables = {
             "refiner": {"params": init_vars["params"],
@@ -120,7 +119,10 @@ def main(argv=None) -> dict:
                 key, jnp.zeros((1, cfg.size, cfg.size, 3)))["params"],
         }
 
-    _, val = smoke_datasets(cfg, ("lr", "gt", "patches"))
+    smoke = smoke_datasets(cfg, ("lr", "gt", "patches"))
+    if smoke is None:
+        raise SystemExit("--procedural (or --synthetic) must be > 0")
+    _, val = smoke
     batch = {k: np.stack([val[i][k] for i in range(cfg.batch_size)])
              for k in ("lr", "gt")}
 

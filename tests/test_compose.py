@@ -111,3 +111,34 @@ class TestComposeRefiner:
         pc = variables["params"]["fpg"]["prior_conv0"]["conv"]["kernel"]
         pc0 = init_vars["params"]["fpg"]["prior_conv0"]["conv"]["kernel"]
         np.testing.assert_allclose(np.asarray(pc), np.asarray(pc0))
+
+
+class TestRestoreState:
+    def test_clear_errors_and_no_mkdir_side_effect(self, tmp_path):
+        """restore_state must fail loudly on a mistyped path (the old
+        CheckpointManager(...).restore() returned None -> opaque
+        None["state"] TypeError) and must NOT mkdir the bogus path."""
+        from hifidiff_tpu.train.checkpoint import restore_state
+
+        missing = tmp_path / "nope"
+        with pytest.raises(FileNotFoundError):
+            restore_state(str(missing))
+        assert not missing.exists()   # read-only: no directory created
+
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        with pytest.raises(FileNotFoundError, match="no orbax checkpoint"):
+            restore_state(str(empty))
+
+    def test_round_trip(self, tmp_path):
+        from hifidiff_tpu.train.checkpoint import (
+            CheckpointManager,
+            restore_state,
+        )
+
+        state = {"params": {"w": np.arange(4.0, dtype=np.float32)}}
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        mgr.save(3, state, wait=True)
+        out = restore_state(str(tmp_path / "ck"))
+        np.testing.assert_array_equal(out["state"]["params"]["w"],
+                                      state["params"]["w"])

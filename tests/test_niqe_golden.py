@@ -122,7 +122,10 @@ def np_fit_aggd(x):
 
 
 def np_niqe_features(img):
-    """Full two-scale 36-feature pipeline, independent implementation."""
+    """Full two-scale 36-feature pipeline, independent implementation.
+    Crops to the 96-multiple BEFORE the scale loop, exactly where basicsr
+    `calculate_niqe` does (`img[0:num_block_h*96, 0:num_block_w*96]`)."""
+    img = img[:(img.shape[0] // 96) * 96, :(img.shape[1] // 96) * 96]
     out_scales = []
     patch = 96
     for s in range(2):
@@ -202,6 +205,20 @@ class TestNIQEConventions:
 
 
 class TestNIQEGolden:
+    def test_crop_precedes_scale_loop(self):
+        """At 128x128 (the eval size), features must equal the 96x96
+        crop's features: basicsr crops BEFORE MSCN and the half-scale
+        resize, so pixels 96..127 must not leak in through convolution
+        borders or bicubic taps."""
+        img = rgb_to_luma(_test_image(128)).round()
+        np.testing.assert_allclose(niqe_features(img),
+                                   niqe_features(img[:96, :96]),
+                                   rtol=1e-12, atol=1e-12)
+        # and the oracle agrees at the non-multiple size too
+        np.testing.assert_allclose(niqe_features(img),
+                                   np_niqe_features(img),
+                                   rtol=1e-5, atol=1e-7)
+
     def test_features_match_independent_oracle(self):
         img = rgb_to_luma(_test_image()).round()
         ours = niqe_features(img)
