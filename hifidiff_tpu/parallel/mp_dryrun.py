@@ -110,6 +110,27 @@ def child_main(process_id: int, num_processes: int,
     print(f"MP_DRYRUN_LOSS p{process_id} "
           + " ".join(f"{v:.6f}" for v in losses), flush=True)
 
+    # VAL path (ADVICE r2 medium: the train step alone left multi-process
+    # validation untested): the exact pattern `train_refiner`/`test_refiner`
+    # use — sharded val Loader, global batch via shard_batch, replicated
+    # params implied, one jitted metric program entered by EVERY process
+    # over the global arrays. 10 samples over 2 shards -> 5 each ->
+    # batches [4, 1]: ragged again on the val side.
+    from hifidiff_tpu.eval.metrics import reference_eval_metrics
+
+    val_ds = SyntheticFaceDataset(10, res, keys=("lr", "gt"))
+    val_loader = Loader(val_ds, local_batch, shuffle=False,
+                        shard_index=process_index(),
+                        num_shards=num_processes)
+    val_psnrs = []
+    for batch in val_loader:
+        gb = shard_batch(batch, mesh)
+        m, _, _ = reference_eval_metrics(gb["lr"], gb["gt"])
+        val_psnrs.append(float(m["psnr"]))
+    assert all(np.isfinite(val_psnrs)), val_psnrs
+    print(f"MP_DRYRUN_VAL p{process_id} "
+          + " ".join(f"{v:.6f}" for v in val_psnrs), flush=True)
+
 
 def run(num_processes: int = 2, devices_per_process: int = 4,
         port: int = 29517, timeout: int = 600) -> None:
@@ -133,18 +154,21 @@ def run(num_processes: int = 2, devices_per_process: int = 4,
         if p.returncode != 0:
             raise RuntimeError(
                 f"mp_dryrun child failed (rc={p.returncode}):\n{out}")
-    losses = {}
-    for out in outs:
-        for line in out.splitlines():
-            if line.startswith("MP_DRYRUN_LOSS"):
-                parts = line.split()
-                losses[parts[1]] = tuple(float(v) for v in parts[2:])
-    assert len(losses) == num_processes, f"missing loss lines: {outs}"
-    vals = list(losses.values())
-    assert all(v == vals[0] for v in vals), (
-        f"cross-process loss mismatch: {losses}")
+    for tag, what in (("MP_DRYRUN_LOSS", "loss"), ("MP_DRYRUN_VAL", "val")):
+        per_proc = {}
+        for out in outs:
+            for line in out.splitlines():
+                if line.startswith(tag):
+                    parts = line.split()
+                    per_proc[parts[1]] = tuple(float(v) for v in parts[2:])
+        assert len(per_proc) == num_processes, \
+            f"missing {what} lines: {outs}"
+        vals = list(per_proc.values())
+        assert all(v == vals[0] for v in vals), (
+            f"cross-process {what} mismatch: {per_proc}")
     print(f"mp_dryrun OK: {num_processes} processes x "
-          f"{devices_per_process} devices, losses identical: {vals[0]}")
+          f"{devices_per_process} devices, train losses AND val metrics "
+          f"identical: {vals[0]}")
 
 
 def main() -> None:
