@@ -241,26 +241,53 @@ def main() -> None:
             variables["cr"], variables["vae"], rvars, lr_images, key)
         final = run.stages["scan"](rvars, latents, priors, id_emb)
         sync(final)
-        # distinct inputs per iteration (the axon server memoizes identical
-        # pending computations), one d2h sync per stage loop
-        for name, call in (
-            ("prep", lambda i: run.stages["prep"](
-                variables["cr"], variables["vae"], rvars, lr_images,
-                jax.random.fold_in(key, i))),
-            ("scan", lambda i: run.stages["scan"](
-                rvars, latents + 1e-3 * i, priors, id_emb)),
-            ("decode", lambda i: run.stages["decode"](
-                variables["vae"], final + 1e-3 * i)),
-        ):
+
+        # per-stage timing via an IN-PROGRAM lax.scan with one d2h sync:
+        # a host loop of per-stage dispatches pays ~11 ms of tunnel
+        # dispatch tax per call (measured r3, scripts/prep_bench.py —
+        # it inflated prep from its true ~109 ms to the 220-306 ms
+        # reported in BENCH_r01/r02), and inputs must differ per
+        # iteration because the server memoizes identical pending
+        # computations (docs/PERF.md rules 1-3)
+        def time_stage(name, fn, stage_args):
+            @jax.jit
+            def loop(*a):
+                def body(carry, i):
+                    out = fn(*a, i)
+                    leaf = jax.tree_util.tree_leaves(out)[0]
+                    return (carry
+                            + jnp.max(jnp.abs(leaf)).astype(jnp.float32),
+                            None)
+
+                acc, _ = lax.scan(
+                    body, jnp.float32(0.0),
+                    jnp.arange(args.iters, dtype=jnp.int32))
+                return acc
+
+            _np.asarray(loop(*stage_args))   # compile + warm run
             t0 = time.time()
-            for i in range(args.iters):
-                o = call(i)
-            sync(o)
+            _np.asarray(loop(*stage_args))
             dt = (time.time() - t0) / args.iters
             stage_ms[name] = round(dt * 1e3, 1)
             print(f"[stage] {name}: {dt * 1e3:.1f} ms/iter "
                   f"({args.batch / dt:.1f} faces/s)", file=sys.stderr,
                   flush=True)
+
+        time_stage(
+            "prep",
+            lambda cv, vv, rv_, x, k, i: run.stages["prep"](
+                cv, vv, rv_, x, jax.random.fold_in(k, i)),
+            (variables["cr"], variables["vae"], rvars, lr_images, key))
+        time_stage(
+            "scan",
+            lambda rv_, z, pr, ie, i: run.stages["scan"](
+                rv_, z + 1e-3 * i.astype(z.dtype), pr, ie),
+            (rvars, latents, priors, id_emb))
+        time_stage(
+            "decode",
+            lambda vv, z, i: run.stages["decode"](
+                vv, z + 1e-3 * i.astype(z.dtype)),
+            (variables["vae"], final))
 
     from hifidiff_tpu.utils.logging import profile_trace
 

@@ -188,18 +188,17 @@ def _warp_fast_impl(x: jax.Array, theta: jax.Array) -> jax.Array:
         # (|shear_y| across the row <= ~1 px — zero-init STN heads and most
         # trained warps) take a K=4 kernel at 1/4 the MXU work; stronger
         # shears the K=16 kernel; pathological thetas the exact gather.
-        # All three are exact bilinear. Off by default: nested lax.cond
-        # over pallas calls showed pathological server-side compile times
-        # through the axon tunnel (docs/PERF.md rule 5) and must be
-        # re-validated before becoming the default.
-        return jax.lax.cond(
-            span <= float(_FAST_KWIN_SMALL),
-            lambda x: warp_rowwin_pallas(x, coef, k_win=_FAST_KWIN_SMALL),
-            lambda x: jax.lax.cond(
-                span <= float(_FAST_KWIN),
-                lambda x: warp_rowwin_pallas(x, coef, k_win=_FAST_KWIN),
-                lambda x: _warp_gather(x, theta),
-                x),
+        # All three are exact bilinear. Dispatch is a single FLAT
+        # lax.switch (a nested lax.cond over pallas calls showed
+        # pathological server-side compile times through the axon tunnel —
+        # docs/PERF.md rule 5). Off by default until re-measured on-chip.
+        branch = (span > float(_FAST_KWIN_SMALL)).astype(jnp.int32) + \
+            (span > float(_FAST_KWIN)).astype(jnp.int32)
+        return jax.lax.switch(
+            branch,
+            [lambda x: warp_rowwin_pallas(x, coef, k_win=_FAST_KWIN_SMALL),
+             lambda x: warp_rowwin_pallas(x, coef, k_win=_FAST_KWIN),
+             lambda x: _warp_gather(x, theta)],
             x)
     k = int(os.environ.get("HIFIDIFF_WARP_KWIN", _FAST_KWIN))
     return jax.lax.cond(
