@@ -166,14 +166,12 @@ def main() -> None:
     if args.quant == "int8":
         from hifidiff_tpu.ops.quant import quantize_variables
 
-        refiner = FacialRefiner(dtype=dtype, w8=True)
-        q_shapes = jax.eval_shape(
-            lambda k: refiner.init(k, jnp.zeros((1, 16, 16, 4)),
-                                   jnp.zeros((1,)),
-                                   jnp.zeros((1, 128, 128, 3)),
-                                   jnp.zeros((1, 16, 16, 4)), train=False),
-            key)["params"]
-        refiner_params = quantize_variables(rv["params"], q_shapes)
+        # quantize only the scan-streamed denoiser weights; IDC/FPG run
+        # once per batch and stay float (the tree is the switch — the
+        # layers self-detect kernel_q, see ops/quant.py)
+        refiner_params = dict(rv["params"])
+        refiner_params["denoiser"] = quantize_variables(
+            rv["params"]["denoiser"])
         log("denoiser quantized to w8 int8")
 
     variables = {
@@ -254,10 +252,15 @@ def main() -> None:
             def loop(*a):
                 def body(carry, i):
                     out = fn(*a, i)
-                    leaf = jax.tree_util.tree_leaves(out)[0]
-                    return (carry
-                            + jnp.max(jnp.abs(leaf)).astype(jnp.float32),
-                            None)
+                    # fold EVERY output leaf into the carry: reducing only
+                    # one leaf lets XLA DCE the compute behind the others
+                    # (prep's first leaf is the key-only noise latents —
+                    # reducing just it DCE'd the whole CR+VAE+FPG+IDC
+                    # chain and read an absurd 4 ms)
+                    for leaf in jax.tree_util.tree_leaves(out):
+                        carry = carry + jnp.max(
+                            jnp.abs(leaf)).astype(jnp.float32)
+                    return carry, None
 
                 acc, _ = lax.scan(
                     body, jnp.float32(0.0),
@@ -273,15 +276,25 @@ def main() -> None:
                   f"({args.batch / dt:.1f} faces/s)", file=sys.stderr,
                   flush=True)
 
+        # EVERY data input must vary per iteration, not just the PRNG key:
+        # anything loop-invariant (e.g. the whole CR+VAE-encode if only the
+        # key varies) gets hoisted out of the timing scan by XLA and the
+        # stage reads absurdly fast. Weights stay constant (as in
+        # production), so once-per-call weight-only precomputes (the
+        # hoisted FiLM tables, ~0.3 ms) are excluded — negligible.
         time_stage(
             "prep",
             lambda cv, vv, rv_, x, k, i: run.stages["prep"](
-                cv, vv, rv_, x, jax.random.fold_in(k, i)),
+                cv, vv, rv_, x + (i % 2).astype(x.dtype),
+                jax.random.fold_in(k, i)),
             (variables["cr"], variables["vae"], rvars, lr_images, key))
         time_stage(
             "scan",
             lambda rv_, z, pr, ie, i: run.stages["scan"](
-                rv_, z + 1e-3 * i.astype(z.dtype), pr, ie),
+                rv_, z + 1e-3 * i.astype(z.dtype),
+                jax.tree_util.tree_map(
+                    lambda p: p + 1e-3 * i.astype(p.dtype), pr),
+                ie + 1e-3 * i.astype(ie.dtype)),
             (rvars, latents, priors, id_emb))
         time_stage(
             "decode",

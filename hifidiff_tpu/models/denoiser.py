@@ -64,10 +64,6 @@ class _UNetCore(nn.Module):
     dtype: Optional[jnp.dtype]
 
     @property
-    def _w8(self):
-        return getattr(self, "w8", False)
-
-    @property
     def _blk(self):
         """ConditionalNAFBlock, optionally wrapped in jax.checkpoint —
         trades recompute for activation HBM in large-batch training
@@ -83,8 +79,7 @@ class _UNetCore(nn.Module):
         k = 0
         for i, n in enumerate(self.enc_nums):
             for b in range(n):
-                x = self._blk(ch, time_dim, w8=self._w8,
-                              dtype=self.dtype,
+                x = self._blk(ch, time_dim, dtype=self.dtype,
                               name=f"enc{i}_blk{b}")(
                     x, t, film=None if films is None else films[k])
                 k += 1
@@ -97,14 +92,13 @@ class _UNetCore(nn.Module):
     def middle(self, x, t, ch, films=None):
         time_dim = self.width * 4
         for b in range(self.mid_num):
-            x = self._blk(ch, time_dim, w8=self._w8, dtype=self.dtype,
+            x = self._blk(ch, time_dim, dtype=self.dtype,
                           name=f"mid_blk{b}")(
                 x, t, film=None if films is None else films[b])
         return x
 
     def up(self, x, ch, i):
-        x = TorchConv(ch * 2, (1, 1), use_bias=False, w8=self._w8,
-                      dtype=self.dtype, name=f"up{i}")(x)
+        x = TorchConv(ch * 2, (1, 1), use_bias=False, dtype=self.dtype, name=f"up{i}")(x)
         return pixel_shuffle(x, 2)
 
     def decode_stage(self, x, t, skip, ch, i, films=None, film_base=0):
@@ -113,7 +107,7 @@ class _UNetCore(nn.Module):
         ch //= 2
         x = x + skip
         for b in range(self.dec_nums[i]):
-            x = self._blk(ch, time_dim, w8=self._w8, dtype=self.dtype,
+            x = self._blk(ch, time_dim, dtype=self.dtype,
                           name=f"dec{i}_blk{b}")(
                 x, t, film=None if films is None else films[film_base + b])
         return x, ch
@@ -131,19 +125,16 @@ class _UNetCore(nn.Module):
         ch = self.width
         for i, n in enumerate(self.enc_nums):
             for b in range(n):
-                enc.append(self._blk(ch, time_dim, w8=self._w8,
-                                     dtype=self.dtype,
+                enc.append(self._blk(ch, time_dim, dtype=self.dtype,
                                      name=f"enc{i}_blk{b}")(None, t))
             ch *= 2
         for b in range(self.mid_num):
-            mid.append(self._blk(ch, time_dim, w8=self._w8,
-                                 dtype=self.dtype,
+            mid.append(self._blk(ch, time_dim, dtype=self.dtype,
                                  name=f"mid_blk{b}")(None, t))
         for i in range(len(self.dec_nums)):
             ch //= 2
             for b in range(self.dec_nums[i]):
-                dec.append(self._blk(ch, time_dim, w8=self._w8,
-                                     dtype=self.dtype,
+                dec.append(self._blk(ch, time_dim, dtype=self.dtype,
                                      name=f"dec{i}_blk{b}")(None, t))
         return {"enc": tuple(enc), "mid": tuple(mid), "dec": tuple(dec)}
 
@@ -157,7 +148,6 @@ class Denoiser(_UNetCore):
     mid_num: int = 8
     dec_nums: Sequence[int] = (2, 2, 2, 2)
     remat: bool = False
-    w8: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -205,7 +195,6 @@ class FusedDenoiser(_UNetCore):
     mid_num: int = 8
     dec_nums: Sequence[int] = (2, 2, 2, 2)
     remat: bool = False
-    w8: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -250,7 +239,7 @@ class FusedDenoiser(_UNetCore):
             # wrong-sized idc injection (ADVICE r2 low)
             bh, bw = facial_priors[0].shape[1], facial_priors[0].shape[2]
             b = identity_embedding.shape[0]
-            idc = TorchDense(ch * bh * bw, w8=self.w8, dtype=self.dtype,
+            idc = TorchDense(ch * bh * bw, dtype=self.dtype,
                              name="idc_proj")(identity_embedding)
             idc = idc.reshape(b, ch, bh, bw).transpose(0, 2, 3, 1)
             gates = []
@@ -258,7 +247,7 @@ class FusedDenoiser(_UNetCore):
                            for i in range(len(self.dec_nums))]
             for i, dim in enumerate(dims):
                 gates.append(HybridCrossAttention(
-                    dim, w8=self.w8, dtype=self.dtype,
+                    dim, dtype=self.dtype,
                     name=f"hca{i}")(facial_priors[i], None, train=False))
             return {"films": films_all, "idc": idc, "gates": tuple(gates)}
 
@@ -281,15 +270,14 @@ class FusedDenoiser(_UNetCore):
             # (:245-246).
             if idc_pre is None:
                 bh, bw = x.shape[1], x.shape[2]
-                idc = TorchDense(ch * bh * bw, w8=self.w8,
-                                 dtype=self.dtype,
+                idc = TorchDense(ch * bh * bw, dtype=self.dtype,
                                  name="idc_proj")(identity_embedding)
                 idc = idc.reshape(b, ch, bh, bw).transpose(0, 2, 3, 1)
             else:
                 idc = idc_pre
             x = x + idc
 
-            x = HybridCrossAttention(ch, w8=self.w8, dtype=self.dtype,
+            x = HybridCrossAttention(ch, dtype=self.dtype,
                                      name="hca0")(
                 facial_priors[0], x, train=train,
                 gates=None if hca_gates is None else hca_gates[0])
@@ -308,7 +296,7 @@ class FusedDenoiser(_UNetCore):
                 films=None if films is None else films["dec"],
                 film_base=base)
             base += self.dec_nums[i]
-            x = HybridCrossAttention(ch, w8=self.w8, dtype=self.dtype,
+            x = HybridCrossAttention(ch, dtype=self.dtype,
                                      name=f"hca{i + 1}")(
                 facial_priors[i + 1], x, train=train,
                 gates=None if hca_gates is None else hca_gates[i + 1])

@@ -33,7 +33,6 @@ class FacialRefiner(nn.Module):
     dec_nums: Sequence[int] = (2, 2, 2, 2)
     idc_stage_sizes: Sequence[int] = (3, 4, 6, 3)
     remat: bool = False
-    w8: bool = False     # int8 inference path for the denoiser (opt-in)
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -45,8 +44,7 @@ class FacialRefiner(nn.Module):
         self.denoiser = FusedDenoiser(
             width=self.width, latent_size=self.latent_size,
             enc_nums=self.enc_nums, mid_num=self.mid_num,
-            dec_nums=self.dec_nums, remat=self.remat, w8=self.w8,
-            dtype=self.dtype,
+            dec_nums=self.dec_nums, remat=self.remat, dtype=self.dtype,
         )
 
     def __call__(self, latents, timesteps, cr_face, cr_latent,

@@ -27,7 +27,6 @@ from hifidiff_tpu.nn.layers import TorchConv, TorchDense
 
 class HybridCrossAttention(nn.Module):
     dim: int
-    w8: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -47,18 +46,17 @@ class HybridCrossAttention(nn.Module):
         if gates is None:
             # channel branch
             pooled = (jnp.mean(f_g, axis=(1, 2)) + jnp.max(f_g, axis=(1, 2)))
-            w_c = TorchDense(dim, w8=self.w8, dtype=self.dtype,
+            w_c = TorchDense(dim, dtype=self.dtype,
                              name="ch_fc1")(pooled)
             w_c = nn.relu(w_c)
-            w_c = TorchDense(dim, w8=self.w8, dtype=self.dtype,
+            w_c = TorchDense(dim, dtype=self.dtype,
                              name="ch_fc2")(w_c)
             w_c = nn.sigmoid(w_c)[:, None, None, :]
 
             # spatial branch
-            w_s = TorchConv(dim // 2, (1, 1), w8=self.w8,
-                            dtype=self.dtype, name="sp_conv1")(f_g)
+            w_s = TorchConv(dim // 2, (1, 1), dtype=self.dtype, name="sp_conv1")(f_g)
             w_s = nn.relu(norm("sp_bn1")(w_s))
-            w_s = TorchConv(1, (1, 1), w8=self.w8, dtype=self.dtype,
+            w_s = TorchConv(1, (1, 1), dtype=self.dtype,
                             name="sp_conv2")(w_s)
             w_s = nn.sigmoid(norm("sp_bn2")(w_s))
         else:
@@ -67,6 +65,5 @@ class HybridCrossAttention(nn.Module):
             return (w_c, w_s)
 
         f_o = f_d + w_c * f_d + w_s * f_d
-        f_o = TorchConv(dim, (3, 3), padding=1, w8=self.w8,
-                        dtype=self.dtype, name="fused_conv")(f_o)
+        f_o = TorchConv(dim, (3, 3), padding=1, dtype=self.dtype, name="fused_conv")(f_o)
         return nn.relu(norm("fused_bn")(f_o))

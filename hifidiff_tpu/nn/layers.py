@@ -61,15 +61,27 @@ class LayerNorm2d(nn.Module):
         return out.astype(x.dtype)
 
 
+def _quantized_subtree(module: nn.Module, sub_name: str) -> bool:
+    """The single int8 seam: a layer runs the w8 path iff the params tree
+    it was APPLIED with already holds int8 weights (`kernel_q`) under its
+    scope — i.e. `ops.quant.quantize_variables` was run on the trained
+    float tree. No module flags: the checkpoint is the switch. During
+    `init` nothing is declared yet, so fresh models always init float."""
+    params = module.variables.get("params", {})
+    sub = params.get(sub_name)
+    return sub is not None and "kernel_q" in sub
+
+
 class TorchConv(nn.Module):
     """nn.Conv with PyTorch-default initialization.
 
     kernel: U(-1/sqrt(fan_in), 1/sqrt(fan_in)); bias likewise; fan_in =
     (cin/groups) * kh * kw. Layout is NHWC/HWIO (TPU-native).
 
-    With `w8=True` the kernel is stored int8 with per-output-channel
-    scales; 1x1 convs run the Pallas int8-weight matmul (weights stay int8
-    in HBM — see ops/quant.py) — inference only.
+    If the supplied params hold an int8 kernel (`kernel_q` — produced by
+    `ops.quant.quantize_variables`), the layer runs the int8-weight path:
+    1x1 convs through the Pallas matmul (weights stay int8 in HBM — see
+    ops/quant.py), others dequantize into the XLA conv. Inference only.
     """
 
     features: int
@@ -78,7 +90,6 @@ class TorchConv(nn.Module):
     padding: str | int | tuple = 0
     feature_group_count: int = 1
     use_bias: bool = True
-    w8: bool = False
     declare_only: bool = False  # return the param dict (same tree paths)
     # instead of computing — lets fused Pallas paths consume raw kernels
     dtype: jnp.dtype | None = None
@@ -96,15 +107,15 @@ class TorchConv(nn.Module):
 
         kshape = (*self.kernel_size, cin // self.feature_group_count,
                   self.features)
+        w8 = _quantized_subtree(self, "conv")
         if self.declare_only:
-            if self.w8 and quant.w8_layer_eligible(fan_in * self.features):
-                return self._w8_scope(kshape, fan_in)
+            if w8:
+                return _W8Params(kshape, fan_in, self.use_bias,
+                                 name="conv")()
             return _FloatConvParams(kshape, fan_in, self.use_bias,
                                     name="conv")()
-        if self.w8 and quant.w8_layer_eligible(fan_in * self.features):
-            sub = self._w8_scope(
-                (*self.kernel_size, cin // self.feature_group_count,
-                 self.features), fan_in)
+        if w8:
+            sub = _W8Params(kshape, fan_in, self.use_bias, name="conv")()
             y = quant.conv_w8(x, sub["kernel_q"], sub["kernel_scale"],
                               self.strides, pad, self.feature_group_count)
             if self.use_bias:
@@ -122,12 +133,6 @@ class TorchConv(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-
-    def _w8_scope(self, kshape, fan_in):
-        """Declare int8 kernel + scales + bias under the same "conv" scope
-        the float variant uses (keeps checkpoint paths aligned)."""
-        scope = _W8Params(kshape, fan_in, self.use_bias, name="conv")
-        return scope()
 
 
 class _FloatConvParams(nn.Module):
@@ -171,12 +176,11 @@ class _W8Params(nn.Module):
 
 
 class TorchDense(nn.Module):
-    """nn.Dense with PyTorch-default initialization (+ optional int8
-    weights — see TorchConv)."""
+    """nn.Dense with PyTorch-default initialization (int8-weight path
+    when the params tree holds `kernel_q` — see TorchConv)."""
 
     features: int
     use_bias: bool = True
-    w8: bool = False
     dtype: jnp.dtype | None = None
     kernel_init: object = torch_linear_kernel_init
     bias_init: object = None
@@ -187,7 +191,7 @@ class TorchDense(nn.Module):
         bias_init = self.bias_init or torch_fan_in_bias_init(fan_in)
         from hifidiff_tpu.ops import quant
 
-        if self.w8 and quant.w8_layer_eligible(fan_in * self.features):
+        if _quantized_subtree(self, "dense"):
             sub = _W8Params((fan_in, self.features), fan_in,
                             self.use_bias, name="dense")()
             y = quant.dense_w8(x, sub["kernel_q"], sub["kernel_scale"])

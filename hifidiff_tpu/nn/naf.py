@@ -34,18 +34,15 @@ class SimplifiedChannelAttention(nn.Module):
     """Global average pool -> 1x1 conv -> multiplicative per-channel gate."""
 
     channels: int
-    w8: bool = False
     declare_only: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         if self.declare_only:
-            return TorchConv(self.channels, (1, 1), w8=self.w8,
-                             declare_only=True, name="conv")(x)
+            return TorchConv(self.channels, (1, 1), declare_only=True, name="conv")(x)
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
-        w = TorchConv(self.channels, (1, 1), w8=self.w8,
-                      dtype=self.dtype, name="conv")(pooled)
+        w = TorchConv(self.channels, (1, 1), dtype=self.dtype, name="conv")(pooled)
         return x * w
 
 
@@ -87,7 +84,6 @@ class ConditionalNAFBlock(nn.Module):
     time_dim: int = 512
     dw_expand: int = 2
     ffn_expand: int = 2
-    w8: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -108,7 +104,7 @@ class ConditionalNAFBlock(nn.Module):
         ffn = c * self.ffn_expand
 
         if film is None:
-            film = TorchDense(4 * c, w8=self.w8, dtype=self.dtype,
+            film = TorchDense(4 * c, dtype=self.dtype,
                               name="time_proj")(simple_gate(t))
         if x is None:
             return film
@@ -121,24 +117,23 @@ class ConditionalNAFBlock(nn.Module):
 
         inp = x
         x = LayerNorm2d(c, name="norm1")(x, scale=scale_att, shift=shift_att)
-        x = TorchConv(dw, (1, 1), w8=self.w8, dtype=self.dtype,
+        x = TorchConv(dw, (1, 1), dtype=self.dtype,
                       name="conv1")(x)
         x = TorchConv(dw, (3, 3), padding=1, feature_group_count=dw,
-                      w8=self.w8, dtype=self.dtype, name="conv2")(x)
+                      dtype=self.dtype, name="conv2")(x)
         x = simple_gate(x)
-        x = SimplifiedChannelAttention(dw // 2, w8=self.w8,
-                                       dtype=self.dtype, name="sca")(x)
-        x = TorchConv(c, (1, 1), w8=self.w8, dtype=self.dtype,
+        x = SimplifiedChannelAttention(dw // 2, dtype=self.dtype, name="sca")(x)
+        x = TorchConv(c, (1, 1), dtype=self.dtype,
                       name="conv3")(x)
 
         beta = self.param("beta", nn.initializers.zeros, (c,))
         y = inp + x * beta.astype(x.dtype)
 
         x = LayerNorm2d(c, name="norm2")(y, scale=scale_ffn, shift=shift_ffn)
-        x = TorchConv(ffn, (1, 1), w8=self.w8, dtype=self.dtype,
+        x = TorchConv(ffn, (1, 1), dtype=self.dtype,
                       name="conv4")(x)
         x = simple_gate(x)
-        x = TorchConv(c, (1, 1), w8=self.w8, dtype=self.dtype,
+        x = TorchConv(c, (1, 1), dtype=self.dtype,
                       name="conv5")(x)
 
         gamma = self.param("gamma", nn.initializers.zeros, (c,))
@@ -179,20 +174,18 @@ class ConditionalNAFBlock(nn.Module):
         dw = c * self.dw_expand
         dummy_dw = jnp.zeros((1, 1, 1, dw), x.dtype)
         ln1 = LayerNorm2d(c, declare_only=True, name="norm1")(x)
-        conv1 = TorchConv(dw, (1, 1), w8=self.w8, declare_only=True,
+        conv1 = TorchConv(dw, (1, 1), declare_only=True,
                           name="conv1")(x)
         conv2 = TorchConv(dw, (3, 3), padding=1, feature_group_count=dw,
-                          w8=self.w8, declare_only=True,
+                          declare_only=True,
                           name="conv2")(dummy_dw)
-        sca = SimplifiedChannelAttention(dw // 2, w8=self.w8,
-                                         declare_only=True, name="sca")(x)
-        conv3 = TorchConv(c, (1, 1), w8=self.w8, declare_only=True,
+        sca = SimplifiedChannelAttention(dw // 2, declare_only=True, name="sca")(x)
+        conv3 = TorchConv(c, (1, 1), declare_only=True,
                           name="conv3")(x)
         beta = self.param("beta", nn.initializers.zeros, (c,))
         ln2 = LayerNorm2d(c, declare_only=True, name="norm2")(x)
-        conv4 = TorchConv(c * self.ffn_expand, (1, 1), w8=self.w8,
-                          declare_only=True, name="conv4")(x)
-        conv5 = TorchConv(c, (1, 1), w8=self.w8, declare_only=True,
+        conv4 = TorchConv(c * self.ffn_expand, (1, 1), declare_only=True, name="conv4")(x)
+        conv5 = TorchConv(c, (1, 1), declare_only=True,
                           name="conv5")(x)
         gamma = self.param("gamma", nn.initializers.zeros, (c,))
         return fused_cnaf_block_small(

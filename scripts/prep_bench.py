@@ -36,8 +36,11 @@ def time_fn(name, fn, args_tuple, iters):
     def run(*a):
         def body(carry, i):
             out = fn(*a, i)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return carry + jnp.max(jnp.abs(leaf)).astype(jnp.float32), None
+            # fold EVERY leaf: reducing one lets XLA DCE the rest (the
+            # original full_prep number silently excluded IDC this way)
+            for leaf in jax.tree_util.tree_leaves(out):
+                carry = carry + jnp.max(jnp.abs(leaf)).astype(jnp.float32)
+            return carry, None
 
         acc, _ = lax.scan(body, jnp.float32(0.0),
                           jnp.arange(iters, dtype=jnp.float32))

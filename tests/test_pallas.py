@@ -164,7 +164,7 @@ class TestFusedCNafBlock:
         film = jax.random.normal(jax.random.PRNGKey(seed + 1),
                                  (1, 4 * c)) * 0.2
         t = jax.random.normal(jax.random.PRNGKey(seed + 2), (3, 512))
-        blk = ConditionalNAFBlock(c, w8=w8)
+        blk = ConditionalNAFBlock(c)
         force = os.environ.pop("HIFIDIFF_FORCE_FUSED_NAF", None)
         try:
             v = ConditionalNAFBlock(c).init(key, x, t)
@@ -175,8 +175,8 @@ class TestFusedCNafBlock:
         p["beta"] = jax.random.normal(jax.random.PRNGKey(7), (c,)) * 0.5
         p["gamma"] = jax.random.normal(jax.random.PRNGKey(8), (c,)) * 0.5
         if w8:
-            q_shapes = jax.eval_shape(lambda k: blk.init(k, x, t), key)
-            p = quantize_variables(p, q_shapes["params"])
+            # tree-driven seam: the quantized params ARE the switch
+            p = quantize_variables(p)
         return blk, {"params": p}, x, film, t
 
     def test_fused_matches_standard(self, monkeypatch):

@@ -100,7 +100,6 @@ class TestQuantizedDenoiser:
         kwargs = dict(width=16, latent_size=8, enc_nums=(1, 1), mid_num=1,
                       dec_nums=(1, 1))
         f32_model = FusedDenoiser(**kwargs)
-        q_model = FusedDenoiser(w8=True, **kwargs)
         key = jax.random.PRNGKey(0)
 
         lat = jax.random.normal(key, (2, 8, 8, 4))
@@ -111,15 +110,15 @@ class TestQuantizedDenoiser:
         emb = jax.random.normal(key, (2, 2048))
 
         fv = f32_model.init(key, lat, t, priors, emb, train=False)
-        q_shapes = jax.eval_shape(
-            lambda k: q_model.init(k, lat, t, priors, emb, train=False), key)
-        q_params = quantize_variables(fv["params"], q_shapes["params"])
-        # structure must match exactly
-        assert (jax.tree_util.tree_structure(q_params)
-                == jax.tree_util.tree_structure(q_shapes["params"]))
+        q_params = quantize_variables(fv["params"])
+        # every conv/dense kernel must have been converted (threshold 0)
+        flat = jax.tree_util.tree_flatten_with_path(q_params)[0]
+        names = {p[-1].key for p, _ in flat}
+        assert "kernel_q" in names and "kernel" not in names
 
         out_f = f32_model.apply(fv, lat, t, priors, emb, train=False)
-        out_q = q_model.apply(
+        # SAME module, quantized tree: the params are the switch
+        out_q = f32_model.apply(
             {"params": q_params, "batch_stats": fv.get("batch_stats", {})},
             lat, t, priors, emb, train=False)
         rel = float(jnp.linalg.norm(out_q - out_f)
