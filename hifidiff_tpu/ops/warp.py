@@ -183,15 +183,19 @@ def _warp_fast_impl(x: jax.Array, theta: jax.Array) -> jax.Array:
     span = jnp.max(jnp.abs(coef[:, 3])) * (w - 1) + 3.0
     import os
 
-    if os.environ.get("HIFIDIFF_WARP_ADAPTIVE"):
-        # experimental span-adaptive dispatch: near-identity warps
+    if os.environ.get("HIFIDIFF_WARP_ADAPTIVE", "1") != "0":
+        # span-adaptive dispatch (DEFAULT): near-identity warps
         # (|shear_y| across the row <= ~1 px — zero-init STN heads and most
         # trained warps) take a K=4 kernel at 1/4 the MXU work; stronger
         # shears the K=16 kernel; pathological thetas the exact gather.
         # All three are exact bilinear. Dispatch is a single FLAT
         # lax.switch (a nested lax.cond over pallas calls showed
         # pathological server-side compile times through the axon tunnel —
-        # docs/PERF.md rule 5). Off by default until re-measured on-chip.
+        # docs/PERF.md rule 5). Measured at batch 128, near-identity
+        # thetas (scripts/warp_bench.py, v5e): K4 vs K16 = 6.7 vs 12.6 ms
+        # at 128^2x32, 2.7 vs 5.5 at 64^2x64, 1.4 vs 1.9 at 32^2x128 —
+        # CR's five rowwin warps drop 27.3 -> 15.0 ms.
+        # HIFIDIFF_WARP_ADAPTIVE=0 restores the single-K cond.
         branch = (span > float(_FAST_KWIN_SMALL)).astype(jnp.int32) + \
             (span > float(_FAST_KWIN)).astype(jnp.int32)
         return jax.lax.switch(
