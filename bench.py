@@ -46,10 +46,10 @@ FALLBACK_PIPELINE_TFLOPS_PER_FACE = 0.232
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    # batch sweep on v5e (bf16 params, uint8 I/O, split stages, fast warp;
-    # quiet host — concurrent CPU load skews results up to 40%):
-    # 96 -> 288.9, 128 -> 305.3, 192 -> ~243(contended), 256 -> ~275
-    # (corrected). 128 is the sweet spot.
+    # batch sweep on v5e (bf16 params, uint8 I/O, split stages, adaptive
+    # warp, quiet host, MEDIAN-window methodology, r3):
+    # 128 -> 295.1, 192 -> 260.1 (1.5x non-power-of-2 tiling penalty),
+    # 256 -> 291.4. 128 is the sweet spot.
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--iters", type=int, default=10)
