@@ -103,6 +103,20 @@ def device_prefetch(iterator, mesh: Mesh, depth: int = 2):
         yield out
 
 
+def wrap_pad_leading(xa: np.ndarray, multiple: int) -> np.ndarray:
+    """Pad axis 0 up to a multiple of `multiple` by REPEATING the array
+    (DistributedSampler wrap semantics). Repetition must wrap: a plain
+    `xa[:pad]` clips when pad > n (e.g. a final local batch of 1 padding
+    to a 4-device multiple), silently under-padding — the inferred global
+    shape then fails against the mesh (r3 regression, caught by
+    `mp_dryrun`'s ragged val batch)."""
+    if xa.ndim < 1 or xa.shape[0] % multiple == 0:
+        return xa
+    pad = -xa.shape[0] % multiple
+    idx = np.arange(xa.shape[0] + pad) % xa.shape[0]
+    return xa[idx]
+
+
 def shard_batch(tree, mesh: Mesh):
     """Device-put every leaf with its leading axis split over "data".
 
@@ -125,10 +139,7 @@ def shard_batch(tree, mesh: Mesh):
 
     def put(x):
         if multiprocess:
-            xa = np.asarray(x)
-            if xa.ndim >= 1 and xa.shape[0] % local_extent:
-                pad = -xa.shape[0] % local_extent
-                xa = np.concatenate([xa, xa[:pad]])
+            xa = wrap_pad_leading(np.asarray(x), local_extent)
             sharding = NamedSharding(
                 mesh, P("data", *([None] * (xa.ndim - 1))))
             return jax.make_array_from_process_local_data(sharding, xa)

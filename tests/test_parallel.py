@@ -32,6 +32,27 @@ class TestMesh:
         ragged = shard_batch(np.zeros((5, 4), np.float32), mesh)
         assert ragged.sharding.spec == ()  # replicated fallback
 
+    def test_wrap_pad_leading(self):
+        """The multi-process ragged pad must WRAP (repeat the array), not
+        slice: xa[:pad] clips when pad > n (r3 regression — a final local
+        batch of 1 padding to a 4-device multiple under-padded to 2 and
+        broke the inferred global shape in mp_dryrun's val loop)."""
+        from hifidiff_tpu.parallel.mesh import wrap_pad_leading
+
+        x = np.arange(3 * 2, dtype=np.float32).reshape(3, 2)
+        np.testing.assert_array_equal(wrap_pad_leading(x, 3), x)  # no-op
+        p4 = wrap_pad_leading(x, 4)                       # pad 1 < n
+        assert p4.shape == (4, 2)
+        np.testing.assert_array_equal(p4[3], x[0])
+        one = x[:1]
+        p = wrap_pad_leading(one, 4)                      # pad 3 > n=1
+        assert p.shape == (4, 2)
+        for row in p:
+            np.testing.assert_array_equal(row, one[0])
+        p6 = wrap_pad_leading(x[:2], 6)                   # pad 4 > n=2
+        assert p6.shape == (6, 2)
+        np.testing.assert_array_equal(p6, np.tile(x[:2], (3, 1)))
+
     def test_device_prefetch_order_and_completeness(self):
         mesh = make_mesh(8)
         batches = [{"x": RNG.uniform(0, 1, (8, 2)).astype(np.float32)}
