@@ -1,7 +1,7 @@
 """Benchmark: end-to-end HifiDiff inference throughput on one TPU chip.
 
 Workload (BASELINE.md): 50-step DDIM, 16x16x4 latents -> 128x128 faces,
-full pipeline per face = CR (NAFNet-UNet + 13 STNs, pixel space) ->
+full pipeline per face = CR (NAFNet-UNet + 9 STNs, pixel space) ->
 VAE-encode -> FPG priors + IDC ResNet-50 embedding (once) -> 50x
 FusedDenoiser -> VAE-decode. Default execution: three chained jitted
 stages (prep / DDIM lax.scan / decode — see
