@@ -54,7 +54,8 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--windows", type=int, default=3,
-                   help="measurement windows; the best is reported "
+                   help="measurement windows; the MEDIAN is reported, with "
+                        "the per-window list and spread in the JSON "
                         "(tunnel throughput drifts ~20%% between windows)")
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--cast-params", type=int, default=1,
@@ -65,8 +66,9 @@ def main() -> None:
     p.add_argument("--mode", choices=["split", "fused"], default="split",
                    help="chained jitted stages (faster) vs one program")
     p.add_argument("--quant", choices=["none", "int8"], default="none",
-                   help="w8 int8 denoiser (halves scan weight streaming; "
-                        "opt-in, small numeric drift)")
+                   help="int8-resident denoiser weights (one-seam converter, "
+                        "ops/quant.py; measured-negative in-context: "
+                        "230 vs 295 f/s — the scan is compute-bound)")
     p.add_argument("--cache-interval", type=int, default=1,
                    help=">1 enables encoder-propagation caching: full UNet "
                         "every k-th step, decoder-only between (approximate "
