@@ -242,40 +242,18 @@ def main() -> None:
         final = run.stages["scan"](rvars, latents, priors, id_emb)
         sync(final)
 
-        # per-stage timing via an IN-PROGRAM lax.scan with one d2h sync:
-        # a host loop of per-stage dispatches pays ~11 ms of tunnel
-        # dispatch tax per call (measured r3, scripts/prep_bench.py —
-        # it inflated prep from its true ~109 ms to the 220-306 ms
-        # reported in BENCH_r01/r02), and inputs must differ per
-        # iteration because the server memoizes identical pending
-        # computations (docs/PERF.md rules 1-3)
+        # per-stage timing via the shared in-program harness: a host loop
+        # of per-stage dispatches pays ~11 ms of tunnel dispatch tax per
+        # call (measured r3, scripts/prep_bench.py — it inflated prep
+        # from its true ~109 ms to the 220-306 ms reported in
+        # BENCH_r01/r02). Methodology rules live in utils/timing.py.
+        from hifidiff_tpu.utils.timing import scan_time_fn
+
         def time_stage(name, fn, stage_args):
-            @jax.jit
-            def loop(*a):
-                def body(carry, i):
-                    out = fn(*a, i)
-                    # fold EVERY output leaf into the carry: reducing only
-                    # one leaf lets XLA DCE the compute behind the others
-                    # (prep's first leaf is the key-only noise latents —
-                    # reducing just it DCE'd the whole CR+VAE+FPG+IDC
-                    # chain and read an absurd 4 ms)
-                    for leaf in jax.tree_util.tree_leaves(out):
-                        carry = carry + jnp.max(
-                            jnp.abs(leaf)).astype(jnp.float32)
-                    return carry, None
-
-                acc, _ = lax.scan(
-                    body, jnp.float32(0.0),
-                    jnp.arange(args.iters, dtype=jnp.int32))
-                return acc
-
-            _np.asarray(loop(*stage_args))   # compile + warm run
-            t0 = time.time()
-            _np.asarray(loop(*stage_args))
-            dt = (time.time() - t0) / args.iters
-            stage_ms[name] = round(dt * 1e3, 1)
-            print(f"[stage] {name}: {dt * 1e3:.1f} ms/iter "
-                  f"({args.batch / dt:.1f} faces/s)", file=sys.stderr,
+            ms, _ = scan_time_fn(fn, stage_args, args.iters)
+            stage_ms[name] = round(ms, 1)
+            print(f"[stage] {name}: {ms:.1f} ms/iter "
+                  f"({args.batch / ms * 1e3:.1f} faces/s)", file=sys.stderr,
                   flush=True)
 
         # EVERY data input must vary per iteration, not just the PRNG key:

@@ -166,15 +166,16 @@ def quantize_variables(float_params: Dict) -> Dict:
         if not isinstance(node, Mapping):
             return node
         kernel = node.get("kernel")
-        if kernel is not None and not isinstance(kernel, dict):
+        # recurse into EVERY mapping child regardless — a scope may hold a
+        # kernel leaf AND sibling submodule subtrees (legal in flax)
+        out = {kk: walk(vv) for kk, vv in node.items()}
+        if kernel is not None and not isinstance(kernel, Mapping):
             k = jnp.asarray(kernel)
             if k.ndim in (2, 4) and w8_layer_eligible(k.size):
-                out = {kk: vv for kk, vv in node.items() if kk != "kernel"}
+                del out["kernel"]
                 kq, ks = quantize_weight_per_cout(k)
                 out["kernel_q"] = kq
                 out["kernel_scale"] = ks
-                return out
-            return dict(node)
-        return {kk: walk(vv) for kk, vv in node.items()}
+        return out
 
     return walk(float_params)

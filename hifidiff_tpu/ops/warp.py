@@ -183,7 +183,8 @@ def _warp_fast_impl(x: jax.Array, theta: jax.Array) -> jax.Array:
     span = jnp.max(jnp.abs(coef[:, 3])) * (w - 1) + 3.0
     import os
 
-    if os.environ.get("HIFIDIFF_WARP_ADAPTIVE", "1") != "0":
+    adaptive = os.environ.get("HIFIDIFF_WARP_ADAPTIVE", "1")
+    if adaptive.strip().lower() not in ("0", "", "false", "off", "no"):
         # span-adaptive dispatch (DEFAULT): near-identity warps
         # (|shear_y| across the row <= ~1 px — zero-init STN heads and most
         # trained warps) take a K=4 kernel at 1/4 the MXU work; stronger

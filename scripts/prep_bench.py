@@ -30,33 +30,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def time_fn(name, fn, args_tuple, iters):
-    """fn(*args, i) -> pytree; timed as an in-program scan of `iters`."""
+    """fn(*args, i) -> pytree; shared in-program harness (utils/timing)."""
+    from hifidiff_tpu.utils.timing import scan_time_fn
 
-    @jax.jit
-    def run(*a):
-        def body(carry, i):
-            out = fn(*a, i)
-            # fold EVERY leaf: reducing one lets XLA DCE the rest (the
-            # original full_prep number silently excluded IDC this way)
-            for leaf in jax.tree_util.tree_leaves(out):
-                carry = carry + jnp.max(jnp.abs(leaf)).astype(jnp.float32)
-            return carry, None
-
-        acc, _ = lax.scan(body, jnp.float32(0.0),
-                          jnp.arange(iters, dtype=jnp.float32))
-        return acc
-
-    import numpy as np
-
-    t0 = time.time()
-    np.asarray(run(*args_tuple))  # compile + first run
-    compile_s = time.time() - t0
-    t0 = time.time()
-    np.asarray(run(*args_tuple))
-    dt = (time.time() - t0) / iters
-    print(f"  {name:20s} {dt * 1e3:8.2f} ms/iter  "
+    ms, compile_s = scan_time_fn(fn, args_tuple, iters)
+    print(f"  {name:20s} {ms:8.2f} ms/iter  "
           f"(compile+1st {compile_s:.1f}s)", file=sys.stderr, flush=True)
-    return round(dt * 1e3, 2)
+    return round(ms, 2)
 
 
 def main():
@@ -118,7 +98,10 @@ def main():
                                method=lambda m, zz: m.fpg(zz))
         id_emb = refiner.apply(v, cr_face,
                                method=lambda m, f: m.idc(f, train=False))
-        return (priors[0], id_emb)
+        # return EVERY prior: returning only priors[0] lets XLA DCE the
+        # pyramid heads feeding priors[1:] and understates the composed
+        # cost (caught in the r3 code review)
+        return (tuple(priors), id_emb)
 
     results["full_prep"] = time_fn(
         "full_prep", full_prep, (cr_params, vae_params, rvars, img),

@@ -33,30 +33,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def time_variant(name, fn, x, theta, iters):
-    """fn(x, theta) -> warped; timed as an in-program scan of `iters`."""
+    """fn(x, theta) -> warped; shared in-program harness (utils/timing)."""
+    from hifidiff_tpu.utils.timing import scan_time_fn
 
-    @jax.jit
-    def run(x0, th):
-        def body(carry, i):
-            xi = x0 + (1e-3 * i).astype(x0.dtype)
-            out = fn(xi, th)
-            return carry + jnp.max(jnp.abs(out)).astype(jnp.float32), None
-
-        acc, _ = lax.scan(body, jnp.float32(0.0),
-                          jnp.arange(iters, dtype=jnp.float32))
-        return acc
-
-    # warmup (compile)
-    t0 = time.time()
-    import numpy as np
-    np.asarray(run(x, theta))  # d2h sync
-    compile_s = time.time() - t0
-    t0 = time.time()
-    np.asarray(run(x, theta))
-    dt = (time.time() - t0) / iters
-    print(f"  {name:24s} {dt * 1e3:8.2f} ms/warp  "
+    ms, compile_s = scan_time_fn(
+        lambda x0, th, i: fn(x0 + (1e-3 * i).astype(x0.dtype), th),
+        (x, theta), iters)
+    print(f"  {name:24s} {ms:8.2f} ms/warp  "
           f"(compile+1st {compile_s:.1f}s)", file=sys.stderr, flush=True)
-    return dt * 1e3
+    return ms
 
 
 def main():
