@@ -147,3 +147,72 @@ class SyntheticFaceDataset(Dataset):
                                      (self.size, self.size, 3)).astype(
                     np.float32)
         return out
+
+
+def load_refiner_stack(cfg, key):
+    """Build the CR / VAE / FacialRefiner stack from cfg's model-size knobs
+    and load weights from its ckpt fields (orbax dir, torch .pt /
+    .safetensors via the importers, or random init with a warning).
+
+    cfg needs: size, width, enc_depths, mid_depth, dec_depths, idc_stages,
+    cr_width, cr_enc_depths, cr_mid_depth, vae_blocks, vae_layers,
+    refiner_ckpt, cr_ckpt, vae_ckpt. Shared by `test_refiner` and `serve`.
+    Returns (cr, vae, refiner, schedule, sample_vars, latent).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from hifidiff_tpu.diffusion import DiffusionSchedule
+    from hifidiff_tpu.models import CoarseRestoration, FacialRefiner
+    from hifidiff_tpu.train.checkpoint import (
+        compose_refiner_params,
+        restore_state,
+    )
+    from hifidiff_tpu.utils import torch_import as ti
+    from hifidiff_tpu.vae import AutoencoderKL
+
+    vae_blocks = parse_ints(cfg.vae_blocks)
+    latent = cfg.size // (2 ** (len(vae_blocks) - 1))
+    cr_enc = parse_ints(cfg.cr_enc_depths)
+    cr = CoarseRestoration(width=cfg.cr_width, resolution=cfg.size,
+                           enc_nums=cr_enc, mid_num=cfg.cr_mid_depth,
+                           dec_nums=(2,) * len(cr_enc))
+    vae = AutoencoderKL(block_out=vae_blocks, layers_per_block=cfg.vae_layers)
+    refiner = FacialRefiner(latent_size=latent, width=cfg.width,
+                            enc_nums=parse_ints(cfg.enc_depths),
+                            mid_num=cfg.mid_depth,
+                            dec_nums=parse_ints(cfg.dec_depths),
+                            idc_stage_sizes=parse_ints(cfg.idc_stages))
+    schedule = DiffusionSchedule.create()
+
+    init_vars = jax.jit(lambda k: refiner.init(
+        k, jnp.zeros((1, latent, latent, 4)), jnp.zeros((1,)),
+        jnp.zeros((1, cfg.size, cfg.size, 3)),
+        jnp.zeros((1, latent, latent, 4)), train=False))(key)
+    if cfg.refiner_ckpt:
+        if cfg.refiner_ckpt.endswith(".safetensors"):
+            variables = compose_refiner_params(
+                jax.device_get(init_vars), denoiser_ckpt=cfg.refiner_ckpt,
+                enc_nums=parse_ints(cfg.enc_depths), mid_num=cfg.mid_depth,
+                dec_nums=parse_ints(cfg.dec_depths))
+        else:
+            st = restore_state(cfg.refiner_ckpt)["state"]
+            variables = {"params": st["params"],
+                         "batch_stats": st["batch_stats"]}
+    else:
+        print("[warn] random refiner weights")
+        variables = {"params": init_vars["params"],
+                     "batch_stats": init_vars.get("batch_stats", {})}
+
+    if cfg.cr_ckpt:
+        cr_params = ti.cr_params(ti.load_torch_file(cfg.cr_ckpt)) \
+            if cfg.cr_ckpt.endswith((".pt", ".pth", ".safetensors")) \
+            else restore_state(cfg.cr_ckpt)["state"]["params"]
+    else:
+        print("[warn] random CR weights")
+        cr_params = jax.jit(cr.init)(
+            key, jnp.zeros((1, cfg.size, cfg.size, 3)))["params"]
+    vae_params = load_vae_params(vae, cfg.vae_ckpt, key, cfg.size)
+
+    sample_vars = {"refiner": variables, "cr": cr_params, "vae": vae_params}
+    return cr, vae, refiner, schedule, sample_vars, latent

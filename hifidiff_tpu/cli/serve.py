@@ -1,0 +1,307 @@
+"""Batching inference server — production serving for the full pipeline.
+
+BEYOND-REFERENCE: the reference has no serving story (its inference is
+`test_refiner.py`'s offline eval loop, 50 host-dispatched UNet steps per
+batch). This server wraps the single-program TPU sampler
+(`pipeline.build_refiner_sampler_split`) behind a dependency-free HTTP
+interface with dynamic batching:
+
+  * requests queue up and are packed into a FIXED compiled batch
+    (`--batch`, default 16 — the measured serving knee: 8.8 ms/face at
+    140 ms p50, README "Serving latency"); a batch launches when full or
+    after `--max-wait-ms`, whichever first. Fixed shapes mean ONE XLA
+    compile at startup, zero recompiles while serving.
+  * POST /infer with a raw uint8 RGB body (size*size*3 bytes,
+    Content-Type: application/octet-stream) or a PNG (image/png, needs
+    PIL) -> the restored face in the same format.
+  * GET /healthz -> JSON {status, served, batches, mean_fill, ...}.
+
+Approximate-mode flags mirror bench.py: `--steps`, `--cache-interval`,
+`--sampler dpmpp` (quality bounds in CACHE_QUALITY.json / README).
+
+    python -m hifidiff_tpu.cli.serve --refiner-ckpt runs/.../refiner \
+        --cr-ckpt ... --vae-ckpt ... --port 8787 --steps 15 --cache-interval 2
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from hifidiff_tpu.cli.common import parse_config
+
+
+@dataclasses.dataclass
+class Config:
+    host: str = "127.0.0.1"
+    port: int = 8787            # 0 = ephemeral (tests)
+    batch: int = 16             # compiled serving batch (latency knee)
+    max_wait_ms: float = 20.0   # batching window once a request arrives
+    # sampling mode (quality bounds: README / CACHE_QUALITY.json)
+    num_inference_steps: int = 50
+    cache_interval: int = 1
+    sampler: str = "ddim"
+    clip_sample_range: float = 3.0
+    # checkpoints (orbax dir / torch file; empty = random init + warning)
+    refiner_ckpt: str = ""
+    cr_ckpt: str = ""
+    vae_ckpt: str = ""
+    # model-size knobs (defaults = reference architecture)
+    size: int = 128
+    width: int = 128
+    enc_depths: str = "2,2,4,8"
+    mid_depth: int = 8
+    dec_depths: str = "2,2,2,2"
+    idc_stages: str = "3,4,6,3"
+    cr_width: int = 32
+    cr_enc_depths: str = "2,2,4,8"
+    cr_mid_depth: int = 8
+    vae_blocks: str = "128,256,512,512"
+    vae_layers: int = 2
+    seed: int = 0
+    dtype: str = "bf16"         # params+compute dtype on TPU
+    platform: str = ""          # "cpu" forces the CPU backend (tests)
+
+
+class _Batcher:
+    """Packs queued requests into fixed-size sampler launches.
+
+    One worker thread owns all device calls (the sampler is a fixed-shape
+    jitted program; padding slots repeat the last real sample so BatchNorm
+    batch-stats-free inference sees only valid pixels)."""
+
+    def __init__(self, run_fn, batch: int, size: int, max_wait_s: float):
+        self._run = run_fn
+        self.batch = batch
+        self.size = size
+        self.max_wait_s = max_wait_s
+        self.q: queue.Queue = queue.Queue()
+        self.served = 0
+        self.batches = 0
+        self.filled = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def start(self):
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self.q.put(None)  # wake the worker
+        self._thread.join(timeout=10)
+
+    def submit(self, img: np.ndarray) -> np.ndarray:
+        """Blocking: enqueue one (H, W, 3) uint8 image, wait for its
+        restored output."""
+        slot = {"img": img, "event": threading.Event(), "out": None}
+        self.q.put(slot)
+        slot["event"].wait()
+        if isinstance(slot["out"], Exception):
+            raise slot["out"]
+        return slot["out"]
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self.q.get(timeout=0.25)
+            except queue.Empty:
+                continue
+            if first is None:
+                continue
+            slots = [first]
+            deadline = time.time() + self.max_wait_s
+            while len(slots) < self.batch:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    s = self.q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if s is None:
+                    break
+                slots.append(s)
+            try:
+                imgs = np.stack(
+                    [s["img"] for s in slots]
+                    + [slots[-1]["img"]] * (self.batch - len(slots)))
+                out = self._run(imgs)  # (batch, H, W, 3) uint8
+                for i, s in enumerate(slots):
+                    s["out"] = np.asarray(out[i])
+            except Exception as e:  # noqa: BLE001 — fail the waiters, not the server
+                for s in slots:
+                    s["out"] = e
+            finally:
+                self.batches += 1
+                self.served += len(slots)
+                self.filled += len(slots)
+                for s in slots:
+                    s["event"].set()
+
+
+def build_runner(cfg: Config):
+    """Load the model stack and return (run_fn(uint8 NHWC) -> uint8 NHWC,
+    warmup_fn)."""
+    import jax
+
+    if cfg.platform:
+        # must precede first backend touch; the harness sitecustomize pins
+        # JAX_PLATFORMS, so an env var cannot override it
+        jax.config.update("jax_platforms", cfg.platform)
+    import jax.numpy as jnp
+
+    from hifidiff_tpu.cli.common import load_refiner_stack
+    from hifidiff_tpu.pipeline import (
+        RefinerPipelineConfig,
+        build_refiner_sampler_split,
+    )
+
+    key = jax.random.PRNGKey(cfg.seed)
+    cr, vae, refiner, schedule, sample_vars, latent = \
+        load_refiner_stack(cfg, key)
+    if cfg.dtype == "bf16":
+        sample_vars = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if getattr(a, "dtype", None) == jnp.float32 else a, sample_vars)
+
+    sampler = build_refiner_sampler_split(
+        refiner, cr, vae, schedule,
+        RefinerPipelineConfig(
+            num_inference_steps=cfg.num_inference_steps,
+            latent_size=latent, sampler=cfg.sampler,
+            cache_interval=cfg.cache_interval, io_uint8=True,
+            clip_sample=True, clip_sample_range=cfg.clip_sample_range))
+
+    # each batch gets a fresh fold_in'd key (stateless sampler, stateful
+    # counter on the host side)
+    counter = {"n": 0}
+
+    def run(imgs: np.ndarray) -> np.ndarray:
+        counter["n"] += 1
+        out = sampler(sample_vars, imgs, jax.random.fold_in(key,
+                                                            counter["n"]))
+        return np.asarray(out)
+
+    def warmup():
+        t0 = time.time()
+        run(np.zeros((cfg.batch, cfg.size, cfg.size, 3), np.uint8))
+        return time.time() - t0
+
+    return run, warmup
+
+
+def make_handler(batcher: _Batcher, cfg: Config):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # quiet by default
+            pass
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._json(404, {"error": "unknown path"})
+            fills = (batcher.filled / batcher.batches
+                     if batcher.batches else 0.0)
+            self._json(200, {
+                "status": "ok", "batch": batcher.batch,
+                "steps": cfg.num_inference_steps,
+                "cache_interval": cfg.cache_interval,
+                "sampler": cfg.sampler, "served": batcher.served,
+                "batches": batcher.batches,
+                "mean_fill": round(fills, 2),
+            })
+
+        def do_POST(self):
+            if self.path != "/infer":
+                return self._json(404, {"error": "unknown path"})
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            ctype = self.headers.get("Content-Type",
+                                     "application/octet-stream")
+            try:
+                if ctype == "image/png" or body[:8] == b"\x89PNG\r\n\x1a\n":
+                    from PIL import Image
+
+                    im = Image.open(io.BytesIO(body)).convert("RGB")
+                    im = im.resize((cfg.size, cfg.size), Image.BICUBIC)
+                    img = np.asarray(im, np.uint8)
+                    png = True
+                else:
+                    expect = cfg.size * cfg.size * 3
+                    if len(body) != expect:
+                        return self._json(400, {
+                            "error": f"raw body must be {expect} bytes "
+                                     f"(size*size*3 uint8 RGB), "
+                                     f"got {len(body)}"})
+                    img = np.frombuffer(body, np.uint8).reshape(
+                        cfg.size, cfg.size, 3)
+                    png = False
+            except Exception as e:  # noqa: BLE001
+                return self._json(400, {"error": f"bad image: {e}"})
+            try:
+                out = batcher.submit(img)
+            except Exception as e:  # noqa: BLE001
+                return self._json(500, {"error": f"inference failed: {e}"})
+            if png:
+                from PIL import Image
+
+                buf = io.BytesIO()
+                Image.fromarray(out).save(buf, format="PNG")
+                payload, out_type = buf.getvalue(), "image/png"
+            else:
+                payload, out_type = out.tobytes(), "application/octet-stream"
+            self.send_response(200)
+            self.send_header("Content-Type", out_type)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    return Handler
+
+
+def create_server(cfg: Config):
+    """Build + warm the model, return (httpd, batcher). Caller runs
+    `httpd.serve_forever()` (tests run it in a thread) and stops with
+    `httpd.shutdown(); batcher.stop()`."""
+    run, warmup = build_runner(cfg)
+    batcher = _Batcher(run, cfg.batch, cfg.size, cfg.max_wait_ms / 1e3)
+    dt = warmup()
+    print(f"[serve] model warm (compile+1st batch {dt:.1f}s); "
+          f"batch={cfg.batch} steps={cfg.num_inference_steps} "
+          f"cache={cfg.cache_interval} sampler={cfg.sampler}", flush=True)
+    batcher.start()
+    httpd = ThreadingHTTPServer((cfg.host, cfg.port),
+                                make_handler(batcher, cfg))
+    return httpd, batcher
+
+
+def main(argv=None):
+    cfg = parse_config(Config, argv, "Batching inference server")
+    httpd, batcher = create_server(cfg)
+    print(f"[serve] listening on http://{httpd.server_address[0]}:"
+          f"{httpd.server_address[1]} (POST /infer, GET /healthz)",
+          flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        batcher.stop()
+
+
+if __name__ == "__main__":
+    main()

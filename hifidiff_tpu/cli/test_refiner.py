@@ -22,19 +22,12 @@ import numpy as np
 
 from hifidiff_tpu.cli.common import parse_config
 from hifidiff_tpu.data import KFaceDataset, Loader
-from hifidiff_tpu.diffusion import DiffusionSchedule
 from hifidiff_tpu.eval.metrics import reference_eval_metrics
-from hifidiff_tpu.models import CoarseRestoration, FacialRefiner
 from hifidiff_tpu.pipeline import (
     RefinerPipelineConfig,
     build_refiner_sampler_split,
 )
-from hifidiff_tpu.train.checkpoint import (
-    compose_refiner_params,
-    restore_state,
-)
 from hifidiff_tpu.utils.logging import save_image_grid, side_by_side
-from hifidiff_tpu.vae import AutoencoderKL
 
 
 @dataclasses.dataclass
@@ -73,53 +66,10 @@ class Config:
 def main(argv=None) -> dict:
     cfg = parse_config(Config, argv, "Full-pipeline eval")
     key = jax.random.PRNGKey(cfg.seed)
-    from hifidiff_tpu.cli.common import parse_ints
-    from hifidiff_tpu.utils import torch_import as ti
+    from hifidiff_tpu.cli.common import load_refiner_stack, parse_ints
 
-    vae_blocks = parse_ints(cfg.vae_blocks)
-    latent = cfg.size // (2 ** (len(vae_blocks) - 1))
-    cr_enc = parse_ints(cfg.cr_enc_depths)
-    cr = CoarseRestoration(width=cfg.cr_width, resolution=cfg.size,
-                           enc_nums=cr_enc, mid_num=cfg.cr_mid_depth,
-                           dec_nums=(2,) * len(cr_enc))
-    vae = AutoencoderKL(block_out=vae_blocks, layers_per_block=cfg.vae_layers)
-    refiner = FacialRefiner(latent_size=latent, width=cfg.width,
-                            enc_nums=parse_ints(cfg.enc_depths),
-                            mid_num=cfg.mid_depth,
-                            dec_nums=parse_ints(cfg.dec_depths),
-                            idc_stage_sizes=parse_ints(cfg.idc_stages))
-    schedule = DiffusionSchedule.create()
-
-    init_vars = jax.jit(lambda k: refiner.init(
-        k, jnp.zeros((1, latent, latent, 4)), jnp.zeros((1,)),
-        jnp.zeros((1, cfg.size, cfg.size, 3)),
-        jnp.zeros((1, latent, latent, 4)), train=False))(key)
-    if cfg.refiner_ckpt:
-        if cfg.refiner_ckpt.endswith(".safetensors"):
-            variables = compose_refiner_params(
-                jax.device_get(init_vars), denoiser_ckpt=cfg.refiner_ckpt,
-                enc_nums=parse_ints(cfg.enc_depths), mid_num=cfg.mid_depth,
-                dec_nums=parse_ints(cfg.dec_depths))
-        else:
-            st = restore_state(cfg.refiner_ckpt)["state"]
-            variables = {"params": st["params"],
-                         "batch_stats": st["batch_stats"]}
-    else:
-        print("[warn] random refiner weights")
-        variables = {"params": init_vars["params"],
-                     "batch_stats": init_vars.get("batch_stats", {})}
-
-    if cfg.cr_ckpt:
-        cr_params = ti.cr_params(ti.load_torch_file(cfg.cr_ckpt)) \
-            if cfg.cr_ckpt.endswith((".pt", ".pth", ".safetensors")) \
-            else restore_state(cfg.cr_ckpt)["state"]["params"]
-    else:
-        print("[warn] random CR weights")
-        cr_params = jax.jit(cr.init)(
-            key, jnp.zeros((1, cfg.size, cfg.size, 3)))["params"]
-    from hifidiff_tpu.cli.common import load_vae_params
-
-    vae_params = load_vae_params(vae, cfg.vae_ckpt, key, cfg.size)
+    cr, vae, refiner, schedule, sample_vars, latent = \
+        load_refiner_stack(cfg, key)
 
     sampler = build_refiner_sampler_split(
         refiner, cr, vae, schedule,
@@ -127,7 +77,6 @@ def main(argv=None) -> dict:
             num_inference_steps=cfg.num_inference_steps,
             latent_size=latent, sampler=cfg.sampler,
             clip_sample=True, clip_sample_range=cfg.clip_sample_range))
-    sample_vars = {"refiner": variables, "cr": cr_params, "vae": vae_params}
 
     from hifidiff_tpu.cli.common import smoke_datasets
 
