@@ -18,6 +18,9 @@ interface with dynamic batching:
 
 Approximate-mode flags mirror bench.py: `--steps`, `--cache-interval`,
 `--sampler dpmpp` (quality bounds in CACHE_QUALITY.json / README).
+Multi-chip: the fixed batch is sharded over a 1-axis DP mesh of all
+local devices by default (`--mesh-devices`, batch rounds up to a device
+multiple) — params replicated, SPMD compile, no host-visible change.
 
     python -m hifidiff_tpu.cli.serve --refiner-ckpt runs/.../refiner \
         --cr-ckpt ... --vae-ckpt ... --port 8787 --steps 15 --cache-interval 2
@@ -44,6 +47,9 @@ class Config:
     port: int = 8787            # 0 = ephemeral (tests)
     batch: int = 16             # compiled serving batch (latency knee)
     max_wait_ms: float = 20.0   # batching window once a request arrives
+    mesh_devices: int = 0       # DP mesh size: 0 = all local devices, 1 =
+    #                             single-device; batch rounds UP to a
+    #                             device multiple at startup
     # sampling mode (quality bounds: README / CACHE_QUALITY.json)
     num_inference_steps: int = 50
     cache_interval: int = 1
@@ -158,6 +164,7 @@ def build_runner(cfg: Config):
     import jax.numpy as jnp
 
     from hifidiff_tpu.cli.common import load_refiner_stack
+    from hifidiff_tpu.parallel import batch_sharding, make_mesh, replicated
     from hifidiff_tpu.pipeline import (
         RefinerPipelineConfig,
         build_refiner_sampler_split,
@@ -170,6 +177,23 @@ def build_runner(cfg: Config):
         sample_vars = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16)
             if getattr(a, "dtype", None) == jnp.float32 else a, sample_vars)
+
+    # data-parallel serving: params replicated, the fixed batch sharded
+    # over a 1-axis mesh; jit compiles the same program SPMD and XLA
+    # inserts any collectives (none are needed — inference is per-sample)
+    n_dev = jax.local_device_count() if cfg.mesh_devices == 0 \
+        else min(cfg.mesh_devices, jax.local_device_count())
+    if cfg.batch % n_dev:
+        cfg.batch += -cfg.batch % n_dev
+        print(f"[serve] batch rounded up to {cfg.batch} "
+              f"({n_dev}-device multiple)", flush=True)
+    mesh = make_mesh(n_dev)
+    if n_dev > 1:
+        print(f"[serve] {n_dev}-device data-parallel mesh "
+              f"({cfg.batch // n_dev} faces/device/launch)", flush=True)
+    sample_vars = jax.device_put(sample_vars, replicated(mesh))
+    img_sharding = batch_sharding(mesh)
+    key_sharding = replicated(mesh)
 
     sampler = build_refiner_sampler_split(
         refiner, cr, vae, schedule,
@@ -185,8 +209,10 @@ def build_runner(cfg: Config):
 
     def run(imgs: np.ndarray) -> np.ndarray:
         counter["n"] += 1
-        out = sampler(sample_vars, imgs, jax.random.fold_in(key,
-                                                            counter["n"]))
+        imgs = jax.device_put(imgs, img_sharding)
+        k = jax.device_put(jax.random.fold_in(key, counter["n"]),
+                           key_sharding)
+        out = sampler(sample_vars, imgs, k)
         return np.asarray(out)
 
     def warmup():

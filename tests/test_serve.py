@@ -27,7 +27,7 @@ def server():
                  mid_depth=1, dec_depths="1,1", idc_stages="1,1,1,1",
                  cr_width=8, cr_enc_depths="1,1", cr_mid_depth=1,
                  vae_blocks="32,32", vae_layers=1, dtype="f32",
-                 platform="cpu")
+                 platform="cpu", mesh_devices=1)
     httpd, batcher = create_server(cfg)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
@@ -100,6 +100,37 @@ class TestServe:
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(base + "/nope", timeout=30)
         assert exc.value.code == 404
+
+    def test_data_parallel_mesh(self):
+        """mesh_devices=0 shards the serving batch over all 8 virtual CPU
+        devices; batch 6 rounds up to the device multiple (8) and the
+        sharded launch still restores every request."""
+        import jax
+
+        from hifidiff_tpu.cli.serve import Config, create_server
+
+        assert jax.local_device_count() == 8  # conftest virtual devices
+        cfg = Config(port=0, batch=6, max_wait_ms=200.0, size=SIZE,
+                     num_inference_steps=2, width=16, enc_depths="1,1",
+                     mid_depth=1, dec_depths="1,1", idc_stages="1,1,1,1",
+                     cr_width=8, cr_enc_depths="1,1", cr_mid_depth=1,
+                     vae_blocks="32,32", vae_layers=1, dtype="f32",
+                     platform="cpu", mesh_devices=0)
+        httpd, batcher = create_server(cfg)
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        base = f"http://{httpd.server_address[0]}:{httpd.server_address[1]}"
+        try:
+            assert cfg.batch == 8  # rounded up to the 8-device multiple
+            img = np.random.default_rng(2).integers(
+                0, 256, (SIZE, SIZE, 3), np.uint8)
+            status, body = _post_raw(base, img)
+            assert status == 200
+            out = np.frombuffer(body, np.uint8).reshape(SIZE, SIZE, 3)
+            assert not np.array_equal(out, img)
+        finally:
+            httpd.shutdown()
+            batcher.stop()
 
     def test_png_round_trip(self, server):
         PIL = pytest.importorskip("PIL.Image")
