@@ -272,11 +272,11 @@ def cnaf_small_stack_pallas(x: jax.Array, vec_c: jax.Array,
             pl.BlockSpec((1, 5, 2 * c), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, sp * sp, 2 * c), lambda i: (i, 0, 0)),
             pl.BlockSpec((m_pad, c), lambda i: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # w1
-            pl.BlockSpec(memory_space=pltpu.ANY),   # wsca
-            pl.BlockSpec(memory_space=pltpu.ANY),   # w3
-            pl.BlockSpec(memory_space=pltpu.ANY),   # w4
-            pl.BlockSpec(memory_space=pltpu.ANY),   # w5
+            pl.BlockSpec(memory_space=pl.ANY),   # w1
+            pl.BlockSpec(memory_space=pl.ANY),   # wsca
+            pl.BlockSpec(memory_space=pl.ANY),   # w3
+            pl.BlockSpec(memory_space=pl.ANY),   # w4
+            pl.BlockSpec(memory_space=pl.ANY),   # w5
         ],
         out_specs=pl.BlockSpec((m_pad, c), lambda i: (0, 0)),
         scratch_shapes=scratch,
