@@ -83,15 +83,13 @@ class _Batcher:
     jitted program; padding slots repeat the last real sample so BatchNorm
     batch-stats-free inference sees only valid pixels)."""
 
-    def __init__(self, run_fn, batch: int, size: int, max_wait_s: float):
+    def __init__(self, run_fn, batch: int, max_wait_s: float):
         self._run = run_fn
         self.batch = batch
-        self.size = size
         self.max_wait_s = max_wait_s
         self.q: queue.Queue = queue.Queue()
         self.served = 0
         self.batches = 0
-        self.filled = 0
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
 
@@ -102,10 +100,24 @@ class _Batcher:
         self._stop.set()
         self.q.put(None)  # wake the worker
         self._thread.join(timeout=10)
+        self._drain(RuntimeError("server shutting down"))
+
+    def _drain(self, err: Exception):
+        """Fail every still-queued slot so no submit() waits forever."""
+        while True:
+            try:
+                s = self.q.get_nowait()
+            except queue.Empty:
+                return
+            if s is not None:
+                s["out"] = err
+                s["event"].set()
 
     def submit(self, img: np.ndarray) -> np.ndarray:
         """Blocking: enqueue one (H, W, 3) uint8 image, wait for its
         restored output."""
+        if self._stop.is_set():
+            raise RuntimeError("server shutting down")
         slot = {"img": img, "event": threading.Event(), "out": None}
         self.q.put(slot)
         slot["event"].wait()
@@ -122,9 +134,9 @@ class _Batcher:
             if first is None:
                 continue
             slots = [first]
-            deadline = time.time() + self.max_wait_s
+            deadline = time.monotonic() + self.max_wait_s
             while len(slots) < self.batch:
-                remaining = deadline - time.time()
+                remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break
                 try:
@@ -147,7 +159,6 @@ class _Batcher:
             finally:
                 self.batches += 1
                 self.served += len(slots)
-                self.filled += len(slots)
                 for s in slots:
                     s["event"].set()
 
@@ -239,7 +250,7 @@ def make_handler(batcher: _Batcher, cfg: Config):
         def do_GET(self):
             if self.path != "/healthz":
                 return self._json(404, {"error": "unknown path"})
-            fills = (batcher.filled / batcher.batches
+            fills = (batcher.served / batcher.batches
                      if batcher.batches else 0.0)
             self._json(200, {
                 "status": "ok", "batch": batcher.batch,
@@ -250,10 +261,19 @@ def make_handler(batcher: _Batcher, cfg: Config):
                 "mean_fill": round(fills, 2),
             })
 
+        MAX_BODY = 32 << 20  # PNG bodies; raw is checked exactly below
+
         def do_POST(self):
             if self.path != "/infer":
                 return self._json(404, {"error": "unknown path"})
-            n = int(self.headers.get("Content-Length", 0))
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                return self._json(400, {"error": "bad Content-Length"})
+            if not 0 < n <= self.MAX_BODY:
+                return self._json(400, {
+                    "error": f"Content-Length must be in (0, "
+                             f"{self.MAX_BODY}], got {n}"})
             body = self.rfile.read(n)
             ctype = self.headers.get("Content-Type",
                                      "application/octet-stream")
@@ -303,7 +323,7 @@ def create_server(cfg: Config):
     `httpd.serve_forever()` (tests run it in a thread) and stops with
     `httpd.shutdown(); batcher.stop()`."""
     run, warmup = build_runner(cfg)
-    batcher = _Batcher(run, cfg.batch, cfg.size, cfg.max_wait_ms / 1e3)
+    batcher = _Batcher(run, cfg.batch, cfg.max_wait_ms / 1e3)
     dt = warmup()
     print(f"[serve] model warm (compile+1st batch {dt:.1f}s); "
           f"batch={cfg.batch} steps={cfg.num_inference_steps} "

@@ -66,7 +66,7 @@ class Config:
 def main(argv=None) -> dict:
     cfg = parse_config(Config, argv, "Full-pipeline eval")
     key = jax.random.PRNGKey(cfg.seed)
-    from hifidiff_tpu.cli.common import load_refiner_stack, parse_ints
+    from hifidiff_tpu.cli.common import load_refiner_stack
 
     cr, vae, refiner, schedule, sample_vars, latent = \
         load_refiner_stack(cfg, key)

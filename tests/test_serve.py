@@ -101,6 +101,47 @@ class TestServe:
             urllib.request.urlopen(base + "/nope", timeout=30)
         assert exc.value.code == 404
 
+    def test_stop_drains_pending_requests(self):
+        """Requests still queued at shutdown fail fast instead of hanging
+        their handler threads forever (no-timeout event wait)."""
+        from hifidiff_tpu.cli.serve import _Batcher
+
+        gate = threading.Event()
+
+        def slow_run(imgs):
+            gate.wait(10)  # hold the first batch until shutdown begins
+            return imgs
+
+        b = _Batcher(slow_run, batch=1, max_wait_s=0.01)
+        b.start()
+        results = [None] * 3
+
+        def call(i):
+            try:
+                b.submit(np.zeros((2, 2, 3), np.uint8))
+                results[i] = "ok"
+            except RuntimeError:
+                results[i] = "shutdown"
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(3)]
+        threads[0].start()
+        # wait until the worker is inside slow_run so 1 and 2 must queue
+        import time
+        time.sleep(0.3)
+        threads[1].start()
+        threads[2].start()
+        time.sleep(0.3)
+        threading.Timer(0.3, gate.set).start()
+        b.stop()  # joins the worker (released by the timer), then drains
+        for t in threads:
+            t.join(timeout=10)
+        assert results[0] == "ok"
+        # batch=1: requests 1 and 2 were still queued when stop() fired
+        assert results[1] == "shutdown" and results[2] == "shutdown"
+        with pytest.raises(RuntimeError):
+            b.submit(np.zeros((2, 2, 3), np.uint8))
+
     def test_data_parallel_mesh(self):
         """mesh_devices=0 shards the serving batch over all 8 virtual CPU
         devices; batch 6 rounds up to the device multiple (8) and the
