@@ -4,6 +4,11 @@ from hifidiff_tpu.train.losses import (
     mse_loss,
     triplet_margin_loss,
 )
+from hifidiff_tpu.train.distill import (
+    distill_eps_target,
+    make_distill_train_step,
+    student_step_tables,
+)
 from hifidiff_tpu.train.optim import (
     adamw_cosine,
     adam,
@@ -20,4 +25,7 @@ __all__ = [
     "adam",
     "cosine_with_warmup",
     "refiner_freeze_mask",
+    "distill_eps_target",
+    "make_distill_train_step",
+    "student_step_tables",
 ]

@@ -1,0 +1,198 @@
+"""Progressive distillation of the DDIM sampler (beyond-reference).
+
+Implements guided progressive distillation in the style of Salimans & Ho,
+"Progressive Distillation for Fast Sampling of Diffusion Models"
+(arXiv:2202.00512): a student with N inference steps is trained so that
+ONE student DDIM step matches TWO teacher DDIM steps on the same
+trajectory; halving rounds chain students down from the reference's
+50-step sampler (`test_refiner.py:85-91`) toward single-digit step
+counts. The reference repo has no distillation — its only fast-sampling
+knob is DDIM step reduction, whose quality cost we measure in
+CACHE_QUALITY.json; a distilled student recovers most of that cost at
+the same faces/s.
+
+TPU-first shape: the distillation train step is one jitted program (two
+teacher evals + one student eval + backward); all DDIM constants are
+static tables indexed by a traced per-sample step index, exactly like the
+sampler scan (`diffusion/sampling.py`).
+
+Math. One deterministic DDIM step from alpha_bar a to a' is linear in
+the model output eps (diffusers step semantics, eta=0):
+
+    x' = sqrt(a'/a) x + (sqrt(1-a') - sqrt(a'/a) sqrt(1-a)) eps
+
+Given the teacher's two-step result x'' (a -> a_mid -> a'), the
+eps-space target the student must emit to land on x'' in one step is the
+linear solve
+
+    eps~ = (x'' - sqrt(a'/a) x) / (sqrt(1-a') - sqrt(a'/a) sqrt(1-a))
+
+and the loss is the truncated-SNR-weighted x0-space MSE of the paper
+(w = max(a/(1-a), 1)). The denominator is nonzero whenever a' > a ...
+including the final step, where a' = 1 (set_alpha_to_one) and the
+denominator is -sqrt((1-a)/a). When the teacher's HALF step already
+lands on a_mid = 1, the second teacher step is automatically the
+identity (both coefficients collapse), so the final student step needs
+no special-casing.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hifidiff_tpu.diffusion.sampling import ddim_timesteps
+from hifidiff_tpu.diffusion.schedule import DiffusionSchedule
+from hifidiff_tpu.train.steps import TrainState
+from hifidiff_tpu.vae.model import SD_VAE_SCALING
+
+Array = jax.Array
+
+
+def ddim_step(x: Array, eps: Array, alpha_t: Array, alpha_prev: Array,
+              clip_sample: bool = False,
+              clip_sample_range: float = 1.0) -> Array:
+    """One deterministic DDIM step (eta=0), batched alphas (B,)."""
+    shape = (-1,) + (1,) * (x.ndim - 1)
+    a_t = alpha_t.reshape(shape)
+    a_p = alpha_prev.reshape(shape)
+    x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+    if clip_sample:
+        x0 = jnp.clip(x0, -clip_sample_range, clip_sample_range)
+    return jnp.sqrt(a_p) * x0 + jnp.sqrt(1.0 - a_p) * eps
+
+
+def distill_eps_target(x_t: Array, x_two: Array, alpha_t: Array,
+                       alpha_prev: Array) -> Array:
+    """Solve for the one-step DDIM eps that maps x_t (at alpha_t) to the
+    teacher's two-step result x_two (at alpha_prev). Linear inversion of
+    `ddim_step` without clipping."""
+    shape = (-1,) + (1,) * (x_t.ndim - 1)
+    a_t = alpha_t.reshape(shape)
+    a_p = alpha_prev.reshape(shape)
+    ratio = jnp.sqrt(a_p / a_t)
+    denom = jnp.sqrt(1.0 - a_p) - ratio * jnp.sqrt(1.0 - a_t)
+    return (x_two - ratio * x_t) / denom
+
+
+def student_step_tables(schedule: DiffusionSchedule,
+                        num_student_steps: int):
+    """Static per-student-step constant tables (numpy, length N).
+
+    Returns dict of (N,) arrays: t (student timestep), t_mid (teacher
+    half-step timestep, clamped to 0 for the embedding — the result is
+    unaffected when a_mid = 1), alpha_t, alpha_mid, alpha_prev.
+    Requires the step ratio to be even so the teacher grid bisects the
+    student grid exactly (1000/N even: N in {2,4,5,10,20,25,50,...})."""
+    T = schedule.num_train_timesteps
+    r = T // num_student_steps
+    if r % 2:
+        raise ValueError(
+            f"step ratio {T}/{num_student_steps}={r} must be even so the "
+            f"2x teacher grid bisects the student grid")
+    acp = np.asarray(schedule.alphas_cumprod)
+    ts = ddim_timesteps(T, num_student_steps)          # descending, ..0
+    mid = ts - r // 2
+    prev = ts - r
+
+    def alpha(tau):
+        return np.where(tau >= 0, acp[np.clip(tau, 0, None)], 1.0)
+
+    return {
+        "t": ts.astype(np.float32),
+        "t_mid": np.maximum(mid, 0).astype(np.float32),
+        "alpha_t": alpha(ts).astype(np.float32),
+        "alpha_mid": alpha(mid).astype(np.float32),
+        "alpha_prev": alpha(prev).astype(np.float32),
+    }
+
+
+def make_distill_train_step(refiner, cr_model, vae,
+                            schedule: DiffusionSchedule,
+                            num_student_steps: int,
+                            clip_sample: bool = False,
+                            clip_sample_range: float = 1.0,
+                            scaling: float = SD_VAE_SCALING) -> Callable:
+    """Distillation step for the full conditional refiner.
+
+    step(state, teacher, frozen, batch, key) -> (state, metrics):
+      state    — student TrainState (init params = copy of the teacher's).
+      teacher  — frozen {"params", "batch_stats"} refiner variables.
+      frozen   — {"cr": cr_params, "vae": vae_params} (same as stage 4).
+      batch    — {"lr", "gt"} images in [0,1] NHWC.
+
+    Per sample: pick a uniform student step i, forward-diffuse the GT
+    latent to x_t at t = ts[i] (the paper trains on forward-diffused
+    data, not on-policy rollouts), run the teacher two half-steps
+    t -> t_mid -> t_prev, solve the eps target, and minimize the
+    truncated-SNR-weighted x0-space MSE. Conditioning (CR face + CR
+    latent) is shared by teacher and student, stop-gradient like
+    `make_refiner_train_step` (`train_refiner.py:152-156`)."""
+    tables = {k: jnp.asarray(v)
+              for k, v in student_step_tables(
+                  schedule, num_student_steps).items()}
+
+    def teacher_eps(teacher, x, t, cr_face, cr_latent):
+        return refiner.apply(
+            {"params": teacher["params"],
+             "batch_stats": teacher.get("batch_stats", {})},
+            x, t, cr_face, cr_latent, train=False)
+
+    def step(state: TrainState, teacher, frozen, batch, key):
+        cr_params, vae_params = frozen["cr"], frozen["vae"]
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        lr_img, hf_img = batch["lr"], batch["gt"]
+        b = hf_img.shape[0]
+
+        def encode(img, k):
+            x = jnp.clip(img, 0.0, 1.0) * 2.0 - 1.0
+            return vae.apply({"params": vae_params}, x, key=k, sample=True,
+                             method=vae.encode) * scaling
+
+        hf_latent = jax.lax.stop_gradient(encode(hf_img, k1))
+        cr_face = jax.lax.stop_gradient(
+            cr_model.apply({"params": cr_params}, lr_img))
+        cr_latent = jax.lax.stop_gradient(encode(cr_face, k2))
+
+        i = jax.random.randint(k3, (b,), 0, num_student_steps)
+        t = tables["t"][i]
+        a_t, a_mid = tables["alpha_t"][i], tables["alpha_mid"][i]
+        a_prev = tables["alpha_prev"][i]
+
+        noise = jax.random.normal(k4, hf_latent.shape, hf_latent.dtype)
+        shape = (-1,) + (1,) * (hf_latent.ndim - 1)
+        x_t = (jnp.sqrt(a_t).reshape(shape) * hf_latent
+               + jnp.sqrt(1.0 - a_t).reshape(shape) * noise)
+
+        # teacher: two half-steps (frozen, no grad)
+        eps1 = teacher_eps(teacher, x_t, t, cr_face, cr_latent)
+        x_mid = ddim_step(x_t, eps1, a_t, a_mid, clip_sample,
+                          clip_sample_range)
+        eps2 = teacher_eps(teacher, x_mid, tables["t_mid"][i], cr_face,
+                           cr_latent)
+        x_two = ddim_step(x_mid, eps2, a_mid, a_prev, clip_sample,
+                          clip_sample_range)
+        eps_target = jax.lax.stop_gradient(
+            distill_eps_target(x_t, x_two, a_t, a_prev))
+
+        # truncated-SNR weight on the x0-space error (arXiv:2202.00512 §4)
+        a_b = a_t.reshape(shape)
+        w = jnp.maximum(a_b / (1.0 - a_b), 1.0)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            eps_s, mut = refiner.apply(
+                variables, x_t, t, cr_face, cr_latent, train=True,
+                mutable=["batch_stats"])
+            x0_err = (jnp.sqrt(1.0 - a_b) / jnp.sqrt(a_b)
+                      * (eps_s - eps_target))
+            return jnp.mean(w * jnp.square(x0_err)), mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads, new_stats), {"loss": loss}
+
+    return step
