@@ -3,10 +3,11 @@
 Implements guided progressive distillation in the style of Salimans & Ho,
 "Progressive Distillation for Fast Sampling of Diffusion Models"
 (arXiv:2202.00512): a student with N inference steps is trained so that
-ONE student DDIM step matches TWO teacher DDIM steps on the same
-trajectory; halving rounds chain students down from the reference's
-50-step sampler (`test_refiner.py:85-91`) toward single-digit step
-counts. The reference repo has no distillation — its only fast-sampling
+ONE student DDIM step matches `substeps` teacher DDIM steps on the same
+trajectory (substeps=2 is the paper's halving round; substeps=5 distills
+the reference's 50-step sampler, `test_refiner.py:85-91`, directly into
+a 10-step student — integer 1000-step grids cannot reach 10 by halving
+from 50). The reference repo has no distillation — its only fast-sampling
 knob is DDIM step reduction, whose quality cost we measure in
 CACHE_QUALITY.json; a distilled student recovers most of that cost at
 the same faces/s.
@@ -79,40 +80,50 @@ def distill_eps_target(x_t: Array, x_two: Array, alpha_t: Array,
 
 
 def student_step_tables(schedule: DiffusionSchedule,
-                        num_student_steps: int):
-    """Static per-student-step constant tables (numpy, length N).
+                        num_student_steps: int, substeps: int = 2):
+    """Static per-student-step constant tables (numpy).
 
-    Returns dict of (N,) arrays: t (student timestep), t_mid (teacher
-    half-step timestep, clamped to 0 for the embedding — the result is
-    unaffected when a_mid = 1), alpha_t, alpha_mid, alpha_prev.
-    Requires the step ratio to be even so the teacher grid bisects the
-    student grid exactly (1000/N even: N in {2,4,5,10,20,25,50,...})."""
+    One student step from t = ts[i] spans `substeps` teacher DDIM steps on
+    the (num_student_steps * substeps)-step grid — substeps=2 is the
+    paper's halving round; substeps=5 distills the 50-step teacher
+    directly into a 10-step student. Requires the student step ratio to
+    be divisible by `substeps` so the teacher grid subdivides the student
+    grid exactly.
+
+    Returns dict:
+      t          (N,)    student timestep (model-eval time for the student)
+      t_sub      (N, k)  teacher model-eval timesteps per sub-step,
+                         clamped to 0 for the embedding (the result is
+                         unaffected once the running alpha reaches 1)
+      alpha_sub  (N, k+1) alpha_bar waypoints; [:, 0] is the student's
+                         alpha_t, [:, k] the student's alpha_prev
+                         (set_alpha_to_one at the final step)."""
     T = schedule.num_train_timesteps
+    k = substeps
     r = T // num_student_steps
-    if r % 2:
+    if r % k:
         raise ValueError(
-            f"step ratio {T}/{num_student_steps}={r} must be even so the "
-            f"2x teacher grid bisects the student grid")
+            f"student step ratio {T}/{num_student_steps}={r} must be "
+            f"divisible by substeps={k} so the teacher grid subdivides "
+            f"the student grid")
     acp = np.asarray(schedule.alphas_cumprod)
     ts = ddim_timesteps(T, num_student_steps)          # descending, ..0
-    mid = ts - r // 2
-    prev = ts - r
+    sub = ts[:, None] - (r // k) * np.arange(k + 1)[None, :]   # (N, k+1)
 
     def alpha(tau):
         return np.where(tau >= 0, acp[np.clip(tau, 0, None)], 1.0)
 
     return {
         "t": ts.astype(np.float32),
-        "t_mid": np.maximum(mid, 0).astype(np.float32),
-        "alpha_t": alpha(ts).astype(np.float32),
-        "alpha_mid": alpha(mid).astype(np.float32),
-        "alpha_prev": alpha(prev).astype(np.float32),
+        "t_sub": np.maximum(sub[:, :k], 0).astype(np.float32),
+        "alpha_sub": alpha(sub).astype(np.float32),
     }
 
 
 def make_distill_train_step(refiner, cr_model, vae,
                             schedule: DiffusionSchedule,
                             num_student_steps: int,
+                            substeps: int = 2,
                             clip_sample: bool = False,
                             clip_sample_range: float = 1.0,
                             scaling: float = SD_VAE_SCALING) -> Callable:
@@ -126,14 +137,14 @@ def make_distill_train_step(refiner, cr_model, vae,
 
     Per sample: pick a uniform student step i, forward-diffuse the GT
     latent to x_t at t = ts[i] (the paper trains on forward-diffused
-    data, not on-policy rollouts), run the teacher two half-steps
-    t -> t_mid -> t_prev, solve the eps target, and minimize the
+    data, not on-policy rollouts), run the teacher `substeps` sub-steps
+    along its finer grid, solve the eps target, and minimize the
     truncated-SNR-weighted x0-space MSE. Conditioning (CR face + CR
     latent) is shared by teacher and student, stop-gradient like
     `make_refiner_train_step` (`train_refiner.py:152-156`)."""
     tables = {k: jnp.asarray(v)
               for k, v in student_step_tables(
-                  schedule, num_student_steps).items()}
+                  schedule, num_student_steps, substeps).items()}
 
     def teacher_eps(teacher, x, t, cr_face, cr_latent):
         return refiner.apply(
@@ -159,24 +170,24 @@ def make_distill_train_step(refiner, cr_model, vae,
 
         i = jax.random.randint(k3, (b,), 0, num_student_steps)
         t = tables["t"][i]
-        a_t, a_mid = tables["alpha_t"][i], tables["alpha_mid"][i]
-        a_prev = tables["alpha_prev"][i]
+        a_sub = tables["alpha_sub"][i]            # (B, k+1)
+        t_sub = tables["t_sub"][i]                # (B, k)
+        a_t, a_prev = a_sub[:, 0], a_sub[:, -1]
 
         noise = jax.random.normal(k4, hf_latent.shape, hf_latent.dtype)
         shape = (-1,) + (1,) * (hf_latent.ndim - 1)
         x_t = (jnp.sqrt(a_t).reshape(shape) * hf_latent
                + jnp.sqrt(1.0 - a_t).reshape(shape) * noise)
 
-        # teacher: two half-steps (frozen, no grad)
-        eps1 = teacher_eps(teacher, x_t, t, cr_face, cr_latent)
-        x_mid = ddim_step(x_t, eps1, a_t, a_mid, clip_sample,
-                          clip_sample_range)
-        eps2 = teacher_eps(teacher, x_mid, tables["t_mid"][i], cr_face,
-                           cr_latent)
-        x_two = ddim_step(x_mid, eps2, a_mid, a_prev, clip_sample,
-                          clip_sample_range)
+        # teacher: `substeps` DDIM sub-steps on its finer grid (frozen,
+        # no grad; k is static so this unrolls into the one program)
+        x = x_t
+        for j in range(substeps):
+            eps_t = teacher_eps(teacher, x, t_sub[:, j], cr_face, cr_latent)
+            x = ddim_step(x, eps_t, a_sub[:, j], a_sub[:, j + 1],
+                          clip_sample, clip_sample_range)
         eps_target = jax.lax.stop_gradient(
-            distill_eps_target(x_t, x_two, a_t, a_prev))
+            distill_eps_target(x_t, x, a_t, a_prev))
 
         # truncated-SNR weight on the x0-space error (arXiv:2202.00512 §4)
         a_b = a_t.reshape(shape)

@@ -25,45 +25,50 @@ RNG = np.random.default_rng(11)
 
 
 class TestDistillMath:
-    def test_constant_eps_two_steps_equal_one_and_solver_recovers(self):
-        """For an x-independent eps, DDIM steps telescope: a->mid->prev
-        equals a->prev in one step, and the eps-target solve returns the
+    @pytest.mark.parametrize("substeps", [2, 5])
+    def test_constant_eps_substeps_telescope_and_solver_recovers(
+            self, substeps):
+        """For an x-independent eps, DDIM steps telescope: k sub-steps
+        equal one direct step, and the eps-target solve returns the
         original eps at every student step (incl. the final one where
         alpha_prev = 1)."""
         sched = DiffusionSchedule.create()
-        tabs = student_step_tables(sched, 10)
-        x = jnp.asarray(RNG.normal(size=(10, 4, 4, 2)), jnp.float32)
+        tabs = student_step_tables(sched, 10, substeps)
+        x0 = jnp.asarray(RNG.normal(size=(10, 4, 4, 2)), jnp.float32)
         eps = jnp.asarray(RNG.normal(size=(10, 4, 4, 2)), jnp.float32)
-        a_t = jnp.asarray(tabs["alpha_t"])
-        a_mid = jnp.asarray(tabs["alpha_mid"])
-        a_prev = jnp.asarray(tabs["alpha_prev"])
-        x_mid = ddim_step(x, eps, a_t, a_mid)
-        x_two = ddim_step(x_mid, eps, a_mid, a_prev)
-        x_one = ddim_step(x, eps, a_t, a_prev)
-        np.testing.assert_allclose(np.asarray(x_two), np.asarray(x_one),
+        a_sub = jnp.asarray(tabs["alpha_sub"])
+        x = x0
+        for j in range(substeps):
+            x = ddim_step(x, eps, a_sub[:, j], a_sub[:, j + 1])
+        x_one = ddim_step(x0, eps, a_sub[:, 0], a_sub[:, -1])
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_one),
                                    atol=2e-5)
-        rec = distill_eps_target(x, x_two, a_t, a_prev)
+        rec = distill_eps_target(x0, x, a_sub[:, 0], a_sub[:, -1])
         np.testing.assert_allclose(np.asarray(rec), np.asarray(eps),
-                                   atol=2e-4)
+                                   atol=5e-4)
 
     def test_tables_shape_and_final_step(self):
         sched = DiffusionSchedule.create()
         tabs = student_step_tables(sched, 25)
         assert tabs["t"].shape == (25,)
+        assert tabs["t_sub"].shape == (25, 2)
+        assert tabs["alpha_sub"].shape == (25, 3)
         # descending leading spacing ends at t=0 with alpha_prev -> 1
         assert tabs["t"][-1] == 0.0
-        assert tabs["alpha_prev"][-1] == 1.0
-        assert tabs["alpha_mid"][-1] == 1.0  # half step below 0 clamps
+        assert tabs["alpha_sub"][-1, -1] == 1.0
+        assert tabs["alpha_sub"][-1, 1] == 1.0  # half step below 0 clamps
         # the eps-target denominator is bounded away from zero everywhere
-        denom = (np.sqrt(1 - tabs["alpha_prev"])
-                 - np.sqrt(tabs["alpha_prev"] / tabs["alpha_t"])
-                 * np.sqrt(1 - tabs["alpha_t"]))
+        a_t, a_prev = tabs["alpha_sub"][:, 0], tabs["alpha_sub"][:, -1]
+        denom = (np.sqrt(1 - a_prev)
+                 - np.sqrt(a_prev / a_t) * np.sqrt(1 - a_t))
         assert np.abs(denom).min() > 1e-3
 
-    def test_odd_step_ratio_rejected(self):
+    def test_indivisible_step_ratio_rejected(self):
         sched = DiffusionSchedule.create()
-        with pytest.raises(ValueError, match="even"):
-            student_step_tables(sched, 8)  # 1000/8 = 125, odd
+        with pytest.raises(ValueError, match="divisible"):
+            student_step_tables(sched, 8)  # ratio 125, not divisible by 2
+        with pytest.raises(ValueError, match="divisible"):
+            student_step_tables(sched, 25, substeps=3)  # 40 % 3 != 0
 
 
 class TestDistillTraining:
