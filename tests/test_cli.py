@@ -168,6 +168,33 @@ class TestTrainRefinerSmoke:
 
 
 @pytest.mark.slow
+class TestDistillSmoke:
+    def test_one_round_procedural(self, tmp_path):
+        from hifidiff_tpu.cli import distill
+
+        res = distill.main([
+            "--teacher-steps", "10", "--student-steps", "5",
+            "--steps-per-round", "3", "--batch-size", "2",
+            "--eval-batch", "2", "--procedural", "8", "--size", "32",
+            "--width", "16", "--enc-depths", "1,1", "--mid-depth", "1",
+            "--dec-depths", "1,1", "--idc-stages", "1,1,1,1",
+            "--cr-width", "8", "--cr-enc-depths", "1,1",
+            "--cr-mid-depth", "1", "--vae-blocks", "32,32",
+            "--vae-layers", "1", "--ckpt-dir", str(tmp_path / "ckpt"),
+            "--log-dir", str(tmp_path / "logs"),
+        ])
+        row = res["rounds"][0]
+        assert row["substeps"] == 2
+        assert np.isfinite(row["final_loss"])
+        assert np.isfinite(row["distilled_vs_exact_psnr"])
+        # student checkpoint restorable through the standard loader
+        from hifidiff_tpu.train.checkpoint import restore_state
+
+        st = restore_state(str(tmp_path / "ckpt" / "temp" / "round0_s5"))
+        assert "params" in st["state"]
+
+
+@pytest.mark.slow
 class TestInferCRSmoke:
     def test_single_image(self, tmp_path):
         from PIL import Image
