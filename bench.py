@@ -113,6 +113,13 @@ def main() -> None:
                         "EVERY call, instead of pipelined throughput. Use "
                         "small --batch (1/8/16) for interactive-serving "
                         "numbers")
+    p.add_argument("--tiny-ae", choices=["none", "decode", "both"],
+                   default="none",
+                   help="swap the SD-VAE decode (and with 'both' the "
+                        "encode) for the distilled tiny autoencoder "
+                        "(vae/tiny.py, ~22x fewer decode FLOPs; quality "
+                        "bounds on the trained stack in TAE_QUALITY.json). "
+                        "Random tiny weights here — bench measures speed")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
@@ -182,6 +189,19 @@ def main() -> None:
         "cr": cr_params,
         "vae": vae_params,
     }
+    tiny_enc = tiny_dec = None
+    if args.tiny_ae != "none":
+        from hifidiff_tpu.vae import tiny_autoencoder_pair
+
+        te, td = tiny_autoencoder_pair(8, dtype=dtype)
+        tiny_dec = td
+        variables["tiny_dec"] = jax.jit(td.init)(
+            key, jnp.zeros((1, 16, 16, 4)))["params"]
+        if args.tiny_ae == "both":
+            tiny_enc = te
+            variables["tiny_enc"] = jax.jit(te.init)(
+                key, jnp.zeros((1, 128, 128, 3)))["params"]
+        log(f"tiny-ae mode: {args.tiny_ae}")
     if args.dtype == "bf16" and args.cast_params:
         variables = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16)
@@ -200,6 +220,8 @@ def main() -> None:
 
     flops_per_call = None
     if args.mode == "fused":
+        if args.tiny_ae != "none":
+            raise SystemExit("--tiny-ae requires --mode split")
         fn = jax.jit(build_refiner_sampler(refiner, cr, vae, schedule,
                                            pipe_cfg))
         t0 = time.time()
@@ -215,7 +237,8 @@ def main() -> None:
         run = compiled
     else:
         run = build_refiner_sampler_split(refiner, cr, vae, schedule,
-                                          pipe_cfg)
+                                          pipe_cfg, tiny_enc=tiny_enc,
+                                          tiny_dec=tiny_dec)
 
     import numpy as _np
 
@@ -237,8 +260,12 @@ def main() -> None:
     if args.stage_times and hasattr(run, "stages"):
         rvars = {"params": variables["refiner"]["params"],
                  "batch_stats": variables["refiner"]["batch_stats"]}
+        enc_p = (variables["tiny_enc"] if tiny_enc is not None
+                 else variables["vae"])
+        dec_p = (variables["tiny_dec"] if tiny_dec is not None
+                 else variables["vae"])
         latents, priors, id_emb = run.stages["prep"](
-            variables["cr"], variables["vae"], rvars, lr_images, key)
+            variables["cr"], enc_p, rvars, lr_images, key)
         final = run.stages["scan"](rvars, latents, priors, id_emb)
         sync(final)
 
@@ -267,7 +294,7 @@ def main() -> None:
             lambda cv, vv, rv_, x, k, i: run.stages["prep"](
                 cv, vv, rv_, x + (i % 2).astype(x.dtype),
                 jax.random.fold_in(k, i)),
-            (variables["cr"], variables["vae"], rvars, lr_images, key))
+            (variables["cr"], enc_p, rvars, lr_images, key))
         time_stage(
             "scan",
             lambda rv_, z, pr, ie, i: run.stages["scan"](
@@ -280,7 +307,7 @@ def main() -> None:
             "decode",
             lambda vv, z, i: run.stages["decode"](
                 vv, z + 1e-3 * i.astype(z.dtype)),
-            (variables["vae"], final))
+            (dec_p, final))
 
     from hifidiff_tpu.utils.logging import profile_trace
 
@@ -339,6 +366,8 @@ def main() -> None:
         f"{baseline_faces_per_sec:.2f} faces/s (A100 torch, analytic)")
 
     sampler_tag = ("ddim" if args.sampler == "ddim" else "dpmpp")
+    if args.tiny_ae != "none":
+        sampler_tag += f"_tae{args.tiny_ae}_"
     result = {
         "metric": f"faces_per_sec_per_chip_128px_{sampler_tag}{args.steps}",
         "value": round(faces_per_sec, 3),

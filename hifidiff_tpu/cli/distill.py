@@ -28,7 +28,7 @@ import numpy as np
 
 from hifidiff_tpu.cli.common import parse_config
 from hifidiff_tpu.data import Loader, MultiPIEDataset
-from hifidiff_tpu.eval.metrics import psnr
+from hifidiff_tpu.eval.metrics import min_max_normalize, psnr, psnr_pyiqa
 from hifidiff_tpu.parallel import (
     is_main_process,
     make_mesh,
@@ -132,13 +132,21 @@ def main(argv=None) -> dict:
                                   clip_sample_range=cfg.clip_sample_range))
 
     def sample_psnrs(variables, steps, reference_pred):
-        """(vs exact-teacher PSNR, vs GT PSNR) for `variables` at `steps`."""
+        """(vs exact-teacher PSNR, vs GT PSNR) for `variables` at `steps`.
+
+        gt-PSNR uses the reference eval convention (batch min-max
+        normalize then pyiqa psnr, `test_refiner.py:113-120`) so the
+        numbers sit in the same column as CACHE_QUALITY.json / the
+        README quality table; drift vs the exact teacher is a plain
+        output-space PSNR (data range 1)."""
         pred = sampler_at(steps)(
             {"refiner": variables, "cr": frozen["cr"],
              "vae": frozen["vae"]}, val_batch["lr"], eval_key)
         vs_ref = (float(psnr(pred, reference_pred))
                   if reference_pred is not None else float("nan"))
-        return pred, vs_ref, float(psnr(pred, val_batch["gt"]))
+        pred_n = min_max_normalize(pred, per_sample=False)
+        gt_n = min_max_normalize(val_batch["gt"], per_sample=False)
+        return pred, vs_ref, float(jnp.mean(psnr_pyiqa(pred_n, gt_n)))
 
     # the distillation target: the exact teacher at its full step count
     exact_pred, _, exact_gt = sample_psnrs(teacher, cfg.teacher_steps, None)
@@ -149,6 +157,7 @@ def main(argv=None) -> dict:
                            use_wandb=cfg.use_wandb)
     results = {"teacher_steps": cfg.teacher_steps, "exact_gt_psnr": exact_gt,
                "rounds": []}
+    orig_teacher = teacher
     teacher_steps = cfg.teacher_steps
     gstep = 0
     for rnd, student_steps in enumerate(parse_ints(cfg.student_steps)):
@@ -158,9 +167,14 @@ def main(argv=None) -> dict:
         substeps = teacher_steps // student_steps
 
         # the naive baseline this round must beat: current teacher weights
-        # simply run at the student's (fewer) steps
+        # simply run at the student's (fewer) steps — plus the
+        # reference-comparable one: the ORIGINAL (undistilled) weights at
+        # those steps, i.e. plain DDIM step reduction
+        # (`test_refiner.py:85-91`, the reference's only fast option)
         _, naive_vs_exact, naive_gt = sample_psnrs(teacher, student_steps,
                                                    exact_pred)
+        _, orig_vs_exact, orig_gt = sample_psnrs(orig_teacher, student_steps,
+                                                 exact_pred)
 
         tx = adamw_cosine(cfg.lr, cfg.warmup_steps, cfg.steps_per_round)
         # deep-copy params AND batch_stats: `state` is donated to the jitted
@@ -200,12 +214,15 @@ def main(argv=None) -> dict:
                "final_loss": float(m["loss"]),
                "naive_vs_exact_psnr": naive_vs_exact,
                "naive_gt_psnr": naive_gt,
+               "orig_naive_vs_exact_psnr": orig_vs_exact,
+               "orig_naive_gt_psnr": orig_gt,
                "distilled_vs_exact_psnr": dist_vs_exact,
                "distilled_gt_psnr": dist_gt}
         results["rounds"].append(row)
         print(f"[distill] round {rnd}: {teacher_steps}->{student_steps} "
               f"steps (k={substeps}) | naive {student_steps}-step: "
-              f"{naive_vs_exact:.2f} dB vs exact ({naive_gt:.2f} gt) | "
+              f"{naive_vs_exact:.2f} dB vs exact ({naive_gt:.2f} gt; "
+              f"orig weights {orig_gt:.2f} gt) | "
               f"distilled: {dist_vs_exact:.2f} dB vs exact "
               f"({dist_gt:.2f} gt)", flush=True)
         if is_main_process():

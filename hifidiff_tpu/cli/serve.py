@@ -59,6 +59,9 @@ class Config:
     refiner_ckpt: str = ""
     cr_ckpt: str = ""
     vae_ckpt: str = ""
+    tae_ckpt: str = ""          # orbax dir from cli/train_tae.py: serve
+    # with the distilled tiny autoencoder (quality: TAE_QUALITY.json)
+    tae_mode: str = "both"      # "decode" or "both" (also tiny encode)
     # model-size knobs (defaults = reference architecture)
     size: int = 128
     width: int = 128
@@ -184,6 +187,20 @@ def build_runner(cfg: Config):
     key = jax.random.PRNGKey(cfg.seed)
     cr, vae, refiner, schedule, sample_vars, latent = \
         load_refiner_stack(cfg, key)
+    tiny_enc = tiny_dec = None
+    if cfg.tae_ckpt:
+        from hifidiff_tpu.train.checkpoint import restore_state
+        from hifidiff_tpu.vae import tiny_autoencoder_pair
+
+        te, td = tiny_autoencoder_pair(cfg.size // latent)
+        tae_params = restore_state(cfg.tae_ckpt)["state"]["params"]
+        tiny_dec = td
+        sample_vars["tiny_dec"] = tae_params["dec"]
+        if cfg.tae_mode == "both":
+            tiny_enc = te
+            sample_vars["tiny_enc"] = tae_params["enc"]
+        print(f"[serve] tiny autoencoder ({cfg.tae_mode}) from "
+              f"{cfg.tae_ckpt}", flush=True)
     if cfg.dtype == "bf16":
         sample_vars = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16)
@@ -212,7 +229,8 @@ def build_runner(cfg: Config):
             num_inference_steps=cfg.num_inference_steps,
             latent_size=latent, sampler=cfg.sampler,
             cache_interval=cfg.cache_interval, io_uint8=True,
-            clip_sample=True, clip_sample_range=cfg.clip_sample_range))
+            clip_sample=True, clip_sample_range=cfg.clip_sample_range),
+        tiny_enc=tiny_enc, tiny_dec=tiny_dec)
 
     # each batch gets a fresh fold_in'd key (stateless sampler, stateful
     # counter on the host side)

@@ -61,6 +61,10 @@ class Config:
     niqe_model: str = ""        # .npz with mu/cov from eval.niqe.fit_niqe_model
     vgg16_ckpt: str = ""        # torchvision vgg16 state_dict (for LPIPS)
     lpips_ckpt: str = ""        # lpips linear-head state_dict (for LPIPS)
+    tae_ckpt: str = ""          # orbax dir from cli/train_tae.py: swap the
+    # SD-VAE seams for the distilled tiny autoencoder (vae/tiny.py)
+    tae_mode: str = "both"      # "decode" = tiny decoder only; "both" also
+    # replaces the CR-latent encode (deterministic posterior mean)
 
 
 def main(argv=None) -> dict:
@@ -71,12 +75,27 @@ def main(argv=None) -> dict:
     cr, vae, refiner, schedule, sample_vars, latent = \
         load_refiner_stack(cfg, key)
 
+    tiny_enc = tiny_dec = None
+    if cfg.tae_ckpt:
+        from hifidiff_tpu.train.checkpoint import restore_state
+        from hifidiff_tpu.vae import tiny_autoencoder_pair
+
+        te, td = tiny_autoencoder_pair(cfg.size // latent)
+        tae_params = restore_state(cfg.tae_ckpt)["state"]["params"]
+        tiny_dec = td
+        sample_vars["tiny_dec"] = tae_params["dec"]
+        if cfg.tae_mode == "both":
+            tiny_enc = te
+            sample_vars["tiny_enc"] = tae_params["enc"]
+        print(f"tiny autoencoder ({cfg.tae_mode}) from {cfg.tae_ckpt}")
+
     sampler = build_refiner_sampler_split(
         refiner, cr, vae, schedule,
         RefinerPipelineConfig(
             num_inference_steps=cfg.num_inference_steps,
             latent_size=latent, sampler=cfg.sampler,
-            clip_sample=True, clip_sample_range=cfg.clip_sample_range))
+            clip_sample=True, clip_sample_range=cfg.clip_sample_range),
+        tiny_enc=tiny_enc, tiny_dec=tiny_dec)
 
     from hifidiff_tpu.cli.common import smoke_datasets
 

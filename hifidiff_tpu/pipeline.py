@@ -183,6 +183,8 @@ def build_refiner_sampler_split(
     vae: AutoencoderKL,
     schedule: DiffusionSchedule,
     config: RefinerPipelineConfig = RefinerPipelineConfig(),
+    tiny_enc: Optional[Any] = None,
+    tiny_dec: Optional[Any] = None,
 ) -> Callable:
     """Same math as `build_refiner_sampler`, executed as THREE jitted
     stages chained on host: prep (CR + VAE-enc + FPG/IDC + initial noise),
@@ -193,21 +195,30 @@ def build_refiner_sampler_split(
     ~310 ms with uint8 I/O but ~490 ms with f32 image I/O. Three stages is
     the robust sweet spot and keeps each program small enough for XLA to
     schedule well; nothing runs on host per diffusion step.
+
+    `tiny_enc` / `tiny_dec` (vae/tiny.py modules, beyond-reference) swap
+    the SD-VAE encode/decode for the distilled tiny autoencoder — a
+    sanctioned approximation with quality bounds in TAE_QUALITY.json.
+    When set, `variables` must carry "tiny_enc"/"tiny_dec" param trees;
+    the tiny encode is deterministic (posterior mean — sample_posterior
+    is ignored on that path).
     """
     b_lat = (config.latent_size, config.latent_size, config.latent_channels)
 
     @jax.jit
-    def stage_prep(cr_params, vae_params, refiner_vars, lr_images, key):
+    def stage_prep(cr_params, enc_params, refiner_vars, lr_images, key):
         if config.io_uint8:
             lr_images = lr_images.astype(jnp.float32) / 255.0
         k_lat, k_enc = jax.random.split(key)
         cr_face = cr_model.apply({"params": cr_params}, lr_images)
         cr_in = jnp.clip(cr_face, 0.0, 1.0) * 2.0 - 1.0
-        if config.sample_posterior:
-            z = vae.apply({"params": vae_params}, cr_in, key=k_enc,
+        if tiny_enc is not None:
+            z = tiny_enc.apply({"params": enc_params}, cr_in)
+        elif config.sample_posterior:
+            z = vae.apply({"params": enc_params}, cr_in, key=k_enc,
                           sample=True, method=vae.encode)
         else:
-            z = vae.apply({"params": vae_params}, cr_in, sample=False,
+            z = vae.apply({"params": enc_params}, cr_in, sample=False,
                           method=vae.encode)
         cr_latent = z * config.scaling
         priors = refiner.apply(refiner_vars, cr_latent,
@@ -277,9 +288,13 @@ def build_refiner_sampler_split(
             unroll=config.unroll, per_step_aux=per_step_aux)
 
     @jax.jit
-    def stage_decode(vae_params, latents):
-        img = vae.apply({"params": vae_params}, latents / config.scaling,
-                        method=vae.decode)
+    def stage_decode(dec_params, latents):
+        if tiny_dec is not None:
+            img = tiny_dec.apply({"params": dec_params},
+                                 latents / config.scaling)
+        else:
+            img = vae.apply({"params": dec_params},
+                            latents / config.scaling, method=vae.decode)
         img = jnp.clip((img + 1.0) * 0.5, 0.0, 1.0)
         if config.io_uint8:
             img = jnp.round(img * 255.0).astype(jnp.uint8)
@@ -288,10 +303,14 @@ def build_refiner_sampler_split(
     def sample(variables: dict, lr_images: jax.Array, key: jax.Array):
         rvars = {"params": variables["refiner"]["params"],
                  "batch_stats": variables["refiner"]["batch_stats"]}
+        enc_p = (variables["tiny_enc"] if tiny_enc is not None
+                 else variables["vae"])
+        dec_p = (variables["tiny_dec"] if tiny_dec is not None
+                 else variables["vae"])
         latents, priors, id_emb = stage_prep(
-            variables["cr"], variables["vae"], rvars, lr_images, key)
+            variables["cr"], enc_p, rvars, lr_images, key)
         final = stage_scan(rvars, latents, priors, id_emb)
-        return stage_decode(variables["vae"], final)
+        return stage_decode(dec_p, final)
 
     # exposed for per-stage benchmarking (bench.py --stage-times)
     sample.stages = {"prep": stage_prep, "scan": stage_scan,

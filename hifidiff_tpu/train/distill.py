@@ -47,6 +47,7 @@ import numpy as np
 
 from hifidiff_tpu.diffusion.sampling import ddim_timesteps
 from hifidiff_tpu.diffusion.schedule import DiffusionSchedule
+from hifidiff_tpu.train.losses import mse_loss
 from hifidiff_tpu.train.steps import TrainState
 from hifidiff_tpu.vae.model import SD_VAE_SCALING
 
@@ -205,5 +206,49 @@ def make_distill_train_step(refiner, cr_model, vae,
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         return state.apply_gradients(grads, new_stats), {"loss": loss}
+
+    return step
+
+
+def make_tae_train_step(vae, tiny_enc, tiny_dec,
+                        gt_weight: float = 0.3) -> Callable:
+    """Distillation step for the tiny autoencoder (`vae/tiny.py`).
+
+    step(state, vae_params, batch, key) -> (state, metrics). state.params
+    = {"enc": tiny_enc params, "dec": tiny_dec params}; the SD VAE is the
+    frozen teacher (the reference's only autoencoder,
+    `pretrain_denoiser.py:256-259` — it has no tiny/fast variant).
+
+    Losses, all in the teacher's conventions ([-1,1] images, UNSCALED
+    latents):
+      dec:  MSE(tiny_dec(z), vae_dec(z)) + gt_weight * MSE(tiny_dec(z), x)
+            with z the teacher's SAMPLED posterior (the stochastic z
+            teaches the decoder the latent neighborhoods the sampler
+            actually visits);
+      enc:  MSE(tiny_enc(x), posterior mean).
+    """
+
+    def step(state: TrainState, vae_params, batch, key):
+        x = jnp.clip(batch["image"], 0.0, 1.0) * 2.0 - 1.0
+        mean, logvar = vae.apply({"params": vae_params}, x,
+                                 method=vae.moments)
+        z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+            key, mean.shape, mean.dtype)
+        teacher_img = vae.apply({"params": vae_params}, z,
+                                method=vae.decode)
+        mean, z, teacher_img = jax.lax.stop_gradient((mean, z, teacher_img))
+
+        def loss_fn(params):
+            rec = tiny_dec.apply({"params": params["dec"]}, z)
+            dec_loss = (mse_loss(rec, teacher_img)
+                        + gt_weight * mse_loss(rec, x))
+            enc_loss = mse_loss(
+                tiny_enc.apply({"params": params["enc"]}, x), mean)
+            return dec_loss + enc_loss, (dec_loss, enc_loss)
+
+        (loss, (dec_loss, enc_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads), {
+            "loss": loss, "dec_loss": dec_loss, "enc_loss": enc_loss}
 
     return step

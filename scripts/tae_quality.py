@@ -1,0 +1,112 @@
+"""Tiny-autoencoder quality on the TRAINED convergence stack.
+
+Trains the TAESD-style tiny autoencoder (`vae/tiny.py`) against the
+convergence demo's trained VAE (`cli/train_tae.py` on the same
+procedural data), then measures the END-TO-END sampler quality
+(pyiqa-convention PSNR/SSIM vs ground truth, `cli/test_refiner.py`)
+with the tiny decoder / tiny encoder+decoder swapped in, next to the
+exact SD-VAE path. Writes TAE_QUALITY.json at the repo root — the
+quality bound behind `bench.py --tiny-ae` and `serve --tae-ckpt`.
+
+    python scripts/tae_quality.py                 # trained stack (TPU)
+    python scripts/tae_quality.py --platform cpu  # no-TPU fallback
+
+Requires `runs/convergence/ckpt/*` (python -m
+hifidiff_tpu.cli.convergence_demo). Reference anchor: the reference has
+one autoencoder — the frozen diffusers AutoencoderKL
+(`pretrain_denoiser.py:256-259`) — and no fast variant; this is a
+beyond-reference sanctioned approximation like --steps/--cache-interval.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from hifidiff_tpu.cli.common import parse_config  # noqa: E402
+
+
+@dataclasses.dataclass
+class Config:
+    ckpt_root: str = "runs/convergence/ckpt"
+    name: str = "convdemo"
+    size: int = 32
+    procedural: int = 64
+    batch_size: int = 8
+    seed: int = 0
+    tae_epochs: int = 120
+    tae_lr: float = 3e-4
+    steps: str = "50,10,5"     # sampler step counts to evaluate
+    tae_ckpt_dir: str = "runs/tae_quality/ckpt"
+    out: str = os.path.join(REPO, "TAE_QUALITY.json")
+    train: bool = True         # False = reuse an existing tae ckpt
+    platform: str = ""
+
+
+def main(argv=None) -> dict:
+    cfg = parse_config(Config, argv, "Tiny-AE quality (trained stack)")
+    if cfg.platform:
+        jax.config.update("jax_platforms", cfg.platform)
+
+    from hifidiff_tpu.cli import test_refiner, train_tae
+    from hifidiff_tpu.cli.common import parse_ints
+
+    ck = lambda s: os.path.join(cfg.ckpt_root, s, cfg.name)  # noqa: E731
+    tae_ckpt = os.path.join(cfg.tae_ckpt_dir, cfg.name)
+    common = ["--procedural", str(cfg.procedural), "--size", str(cfg.size),
+              "--batch-size", str(cfg.batch_size), "--seed", str(cfg.seed),
+              "--vae-blocks", "32,32", "--vae-layers", "1"]
+
+    if cfg.train:
+        train_tae.main(common + [
+            "--num-epochs", str(cfg.tae_epochs), "--lr", str(cfg.tae_lr),
+            "--vae-ckpt", ck("vae"), "--name", cfg.name,
+            "--ckpt-dir", cfg.tae_ckpt_dir,
+            "--out-dir", "runs/tae_quality/img",
+            "--log-dir", "runs/tae_quality/logs",
+            "--save-model-epoch", "40"])
+
+    eval_flags = common + [
+        "--width", "32", "--enc-depths", "1,1", "--mid-depth", "1",
+        "--dec-depths", "1,1", "--idc-stages", "1,1,1,1",
+        "--cr-width", "32", "--cr-enc-depths", "1,1", "--cr-mid-depth", "1",
+        "--refiner-ckpt", ck("refiner"), "--cr-ckpt", ck("cr"),
+        "--vae-ckpt", ck("vae"), "--grid-every", "0",
+        "--out-dir", "runs/tae_quality/eval"]
+
+    results = {"trained": True, "size": cfg.size, "modes": {}}
+    for steps in parse_ints(cfg.steps):
+        row = {}
+        row["exact"] = test_refiner.main(
+            eval_flags + ["--num-inference-steps", str(steps)])
+        row["tae_decode"] = test_refiner.main(
+            eval_flags + ["--num-inference-steps", str(steps),
+                          "--tae-ckpt", tae_ckpt, "--tae-mode", "decode"])
+        row["tae_both"] = test_refiner.main(
+            eval_flags + ["--num-inference-steps", str(steps),
+                          "--tae-ckpt", tae_ckpt, "--tae-mode", "both"])
+        results["modes"][str(steps)] = row
+        print(f"[tae_quality] steps={steps}: "
+              f"exact {row['exact']['psnr']:.2f} dB | "
+              f"tiny-dec {row['tae_decode']['psnr']:.2f} | "
+              f"tiny-both {row['tae_both']['psnr']:.2f}", flush=True)
+
+    with open(cfg.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+    return results
+
+
+if __name__ == "__main__":
+    main()
