@@ -195,6 +195,36 @@ class TestDistillSmoke:
 
 
 @pytest.mark.slow
+class TestTrainTAESmoke:
+    def test_one_epoch_procedural(self, tmp_path):
+        from hifidiff_tpu.cli import test_refiner, train_tae
+
+        train_tae.main([
+            "--procedural", "8", "--batch-size", "4", "--num-epochs", "1",
+            "--size", "32", "--vae-blocks", "32,32", "--vae-layers", "1",
+            "--warmup-steps", "1",
+            "--out-dir", str(tmp_path / "out"),
+            "--ckpt-dir", str(tmp_path / "ckpt"),
+            "--log-dir", str(tmp_path / "logs"),
+        ])
+        assert os.path.isdir(tmp_path / "ckpt" / "temp")
+
+        # the checkpoint plugs into the eval CLI's --tae-ckpt seam
+        res = test_refiner.main([
+            "--procedural", "8", "--size", "32", "--batch-size", "4",
+            "--vae-blocks", "32,32", "--vae-layers", "1",
+            "--width", "16", "--enc-depths", "1,1", "--mid-depth", "1",
+            "--dec-depths", "1,1", "--idc-stages", "1,1,1,1",
+            "--cr-width", "8", "--cr-enc-depths", "1,1",
+            "--cr-mid-depth", "1", "--num-inference-steps", "2",
+            "--grid-every", "0", "--out-dir", str(tmp_path / "eval"),
+            "--tae-ckpt", str(tmp_path / "ckpt" / "temp"),
+            "--tae-mode", "both",
+        ])
+        assert np.isfinite(res["psnr"])
+
+
+@pytest.mark.slow
 class TestInferCRSmoke:
     def test_single_image(self, tmp_path):
         from PIL import Image
