@@ -19,9 +19,9 @@ Writes one JSON object to DISTILL_QUALITY.json at the repo root.
     python scripts/distill_quality.py --platform cpu    # no-TPU fallback
 
 The stage takes a few minutes on one v5e chip (two rounds x 2000 tiny
-train steps); the artifact is the measured evidence behind the
-"distillation recovers most of the step-reduction cost" claim in
-train/distill.py's module doc.
+train steps); the artifact is the measured evidence cited by
+train/distill.py's module doc (distilled vs naive same-step teacher on
+the trained demo stack).
 """
 
 from __future__ import annotations
@@ -91,6 +91,8 @@ def main(argv=None) -> dict:
     ])
     results["trained"] = bool(cfg.ckpt_root)
     results["size"] = cfg.size
+    results["steps_per_round"] = cfg.steps_per_round
+    results["lr"] = cfg.lr
     with open(cfg.out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
