@@ -70,6 +70,10 @@ class Config:
     lr: float = 3e-4
     warmup_steps: int = 200
     gt_weight: float = 0.3   # weight of the direct-recon term vs teacher
+    extra_latents: str = ""  # .npz with "z" (N,h,w,4) UNSCALED latents
+    # harvested from the diffusion sampler (scripts/tae_quality.py dumps
+    # them): adds an on-policy decoder term so the tiny decoder covers
+    # the latents the sampler actually produces, not just GT posteriors
     size: int = 128
     # frozen teacher (architecture + orbax/torch checkpoint)
     vae_blocks: str = "128,256,512,512"
@@ -152,6 +156,12 @@ def main(argv=None) -> None:
         make_tae_train_step(vae, tiny_enc, tiny_dec,
                             gt_weight=cfg.gt_weight), donate_argnums=0)
 
+    extra_z = None
+    if cfg.extra_latents:
+        extra_z = np.load(cfg.extra_latents)["z"].astype(np.float32)
+        rng = np.random.default_rng(cfg.seed + process_index())
+        print(f"on-policy latents: {extra_z.shape} from {cfg.extra_latents}")
+
     @jax.jit
     def recon_step(params, images):
         """Tiny end-to-end recon (enc -> dec) + PSNR vs the input and
@@ -179,9 +189,13 @@ def main(argv=None) -> None:
     step = int(state.step)
     for epoch in range(start_epoch, cfg.num_epochs):
         for batch in train_loader:
-            images = shard_batch(batch, mesh)["image"]
-            state, metrics = train_step(state, vae_params,
-                                        {"image": images},
+            if extra_z is not None:
+                # per-process draw; shard_batch assembles the global batch
+                batch = dict(batch, extra_z=extra_z[
+                    rng.integers(0, len(extra_z),
+                                 size=batch["image"].shape[0])])
+            sharded = shard_batch(batch, mesh)
+            state, metrics = train_step(state, vae_params, sharded,
                                         jax.random.fold_in(key, step))
             timer.tick()
             logger.log({"train_loss": metrics["loss"],

@@ -44,6 +44,18 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any, extra: Optional[Dict] = None,
              wait: bool = False) -> None:
+        last = self._mgr.latest_step()
+        if last is not None and step <= last:
+            # orbax keeps the EXISTING step directory and skips the save —
+            # silently stale weights on a fresh rerun into an old ckpt dir
+            # (cost one bit-identical-eval mystery in r3). Be loud.
+            import warnings
+
+            warnings.warn(
+                f"checkpoint step {step} <= existing latest step {last} in "
+                f"{self.directory}; orbax keeps the existing checkpoint. "
+                f"Delete the directory for a fresh run, or --resume.",
+                stacklevel=2)
         payload = {"state": state}
         if extra:
             payload["extra"] = extra

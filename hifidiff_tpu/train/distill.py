@@ -232,7 +232,16 @@ def make_tae_train_step(vae, tiny_enc, tiny_dec,
             with z the teacher's SAMPLED posterior (the stochastic z
             teaches the decoder the latent neighborhoods the sampler
             actually visits);
-      enc:  MSE(tiny_enc(x), posterior mean).
+      enc:  MSE(tiny_enc(x), posterior mean);
+      on-policy dec (when batch carries "extra_z", UNSCALED latents
+            harvested from the actual diffusion sampler —
+            `train_tae --extra-latents`): MSE(tiny_dec(z'), vae_dec(z')).
+            Measured necessity (TAE_QUALITY r3 diagnosis): on the trained
+            demo stack the sampler's final latents sit far outside the GT
+            posterior (std 5.4 vs 0.4 in diffusion space); the
+            GroupNorm-heavy SD decoder saturates gracefully there while a
+            posterior-only tiny decoder extrapolates to +/-47 and loses
+            >3 dB end-to-end after min-max normalization.
     """
 
     def step(state: TrainState, vae_params, batch, key):
@@ -244,11 +253,19 @@ def make_tae_train_step(vae, tiny_enc, tiny_dec,
         teacher_img = vae.apply({"params": vae_params}, z,
                                 method=vae.decode)
         mean, z, teacher_img = jax.lax.stop_gradient((mean, z, teacher_img))
+        extra_z = batch.get("extra_z")
+        if extra_z is not None:
+            extra_img = jax.lax.stop_gradient(vae.apply(
+                {"params": vae_params}, extra_z, method=vae.decode))
 
         def loss_fn(params):
             rec = tiny_dec.apply({"params": params["dec"]}, z)
             dec_loss = (mse_loss(rec, teacher_img)
                         + gt_weight * mse_loss(rec, x))
+            if extra_z is not None:
+                dec_loss = dec_loss + mse_loss(
+                    tiny_dec.apply({"params": params["dec"]}, extra_z),
+                    extra_img)
             enc_loss = mse_loss(
                 tiny_enc.apply({"params": params["enc"]}, x), mean)
             return dec_loss + enc_loss, (dec_loss, enc_loss)

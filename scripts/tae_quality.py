@@ -51,7 +51,60 @@ class Config:
     tae_ckpt_dir: str = "runs/tae_quality/ckpt"
     out: str = os.path.join(REPO, "TAE_QUALITY.json")
     train: bool = True         # False = reuse an existing tae ckpt
+    on_policy: bool = True     # harvest sampler latents (train split) and
+    # add the on-policy decoder term (train_tae --extra-latents): without
+    # it the tiny decoder only sees GT posteriors and loses >3 dB on the
+    # sampler's out-of-manifold latents (r3 diagnosis, train/distill.py)
     platform: str = ""
+
+
+def dump_sampler_latents(eval_flags, steps_list, out_npz: str) -> None:
+    """Run the exact sampler over the procedural TRAIN split at every
+    step count the artifact will evaluate, and save the final (UNSCALED)
+    latents — the on-policy training set for the tiny decoder. Each step
+    count visits a distinct final-latent distribution on this stack
+    (latents harvested at 50 steps alone left the 10/5-step modes
+    ~1.8 dB under exact; harvesting all three closed it). Eval uses the
+    val split, so no leakage."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hifidiff_tpu.cli import test_refiner as tr
+    from hifidiff_tpu.cli.common import (load_refiner_stack, parse_config,
+                                         smoke_datasets)
+    from hifidiff_tpu.data import Loader
+    from hifidiff_tpu.pipeline import (RefinerPipelineConfig,
+                                       build_refiner_sampler_split)
+    from hifidiff_tpu.vae.model import SD_VAE_SCALING
+
+    ecfg = parse_config(tr.Config, eval_flags, "latent dump")
+    key = jax.random.PRNGKey(ecfg.seed)
+    cr, vae, refiner, schedule, sample_vars, latent = \
+        load_refiner_stack(ecfg, key)
+    train_ds = smoke_datasets(ecfg, ("lr", "gt"))[0]
+    rvars = {"params": sample_vars["refiner"]["params"],
+             "batch_stats": sample_vars["refiner"].get("batch_stats", {})}
+    zs = []
+    for steps in steps_list:
+        sampler = build_refiner_sampler_split(
+            refiner, cr, vae, schedule,
+            RefinerPipelineConfig(
+                num_inference_steps=steps,
+                latent_size=latent, clip_sample=True,
+                clip_sample_range=ecfg.clip_sample_range))
+        for i, batch in enumerate(Loader(train_ds, ecfg.batch_size,
+                                         shuffle=False)):
+            lats, priors, id_emb = sampler.stages["prep"](
+                sample_vars["cr"], sample_vars["vae"], rvars,
+                jnp.asarray(batch["lr"]), jax.random.fold_in(key, i))
+            final = sampler.stages["scan"](rvars, lats, priors, id_emb)
+            zs.append(np.asarray(final, np.float32) / SD_VAE_SCALING)
+    z = np.concatenate(zs, axis=0)
+    os.makedirs(os.path.dirname(out_npz), exist_ok=True)
+    np.savez(out_npz, z=z)
+    print(f"[tae_quality] on-policy latents {z.shape} "
+          f"(steps {steps_list}, std {z.std():.2f}) -> {out_npz}",
+          flush=True)
 
 
 def main(argv=None) -> dict:
@@ -68,15 +121,6 @@ def main(argv=None) -> dict:
               "--batch-size", str(cfg.batch_size), "--seed", str(cfg.seed),
               "--vae-blocks", "32,32", "--vae-layers", "1"]
 
-    if cfg.train:
-        train_tae.main(common + [
-            "--num-epochs", str(cfg.tae_epochs), "--lr", str(cfg.tae_lr),
-            "--vae-ckpt", ck("vae"), "--name", cfg.name,
-            "--ckpt-dir", cfg.tae_ckpt_dir,
-            "--out-dir", "runs/tae_quality/img",
-            "--log-dir", "runs/tae_quality/logs",
-            "--save-model-epoch", "40"])
-
     eval_flags = common + [
         "--width", "32", "--enc-depths", "1,1", "--mid-depth", "1",
         "--dec-depths", "1,1", "--idc-stages", "1,1,1,1",
@@ -85,7 +129,29 @@ def main(argv=None) -> dict:
         "--vae-ckpt", ck("vae"), "--grid-every", "0",
         "--out-dir", "runs/tae_quality/eval"]
 
-    results = {"trained": True, "size": cfg.size, "modes": {}}
+    if cfg.train:
+        # fresh run: orbax refuses to overwrite an existing step number,
+        # so a rerun that lands on the same final step would silently
+        # keep the OLD weights (cost one confusing bit-identical rerun)
+        import shutil
+        shutil.rmtree(tae_ckpt, ignore_errors=True)
+        train_flags = common + [
+            "--num-epochs", str(cfg.tae_epochs), "--lr", str(cfg.tae_lr),
+            "--vae-ckpt", ck("vae"), "--name", cfg.name,
+            "--ckpt-dir", cfg.tae_ckpt_dir,
+            "--out-dir", "runs/tae_quality/img",
+            "--log-dir", "runs/tae_quality/logs",
+            "--save-model-epoch", "40"]
+        if cfg.on_policy:
+            npz = os.path.join("runs", "tae_quality", "sampler_latents.npz")
+            dump_sampler_latents(eval_flags, list(parse_ints(cfg.steps)),
+                                 npz)
+            train_flags += ["--extra-latents", npz]
+        train_tae.main(train_flags)
+
+    results = {"trained": True, "size": cfg.size,
+               "on_policy": cfg.on_policy, "tae_epochs": cfg.tae_epochs,
+               "modes": {}}
     for steps in parse_ints(cfg.steps):
         row = {}
         row["exact"] = test_refiner.main(

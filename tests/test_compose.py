@@ -142,3 +142,22 @@ class TestRestoreState:
         out = restore_state(str(tmp_path / "ck"))
         np.testing.assert_array_equal(out["state"]["params"]["w"],
                                       state["params"]["w"])
+
+    def test_save_at_existing_step_warns(self, tmp_path):
+        """Orbax keeps the existing step dir and silently skips a save at
+        a step <= latest; the manager must warn loudly (a fresh rerun into
+        an old ckpt dir otherwise evaluates stale weights)."""
+        from hifidiff_tpu.train.checkpoint import (
+            CheckpointManager,
+            restore_state,
+        )
+
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        mgr.save(5, {"params": {"w": np.zeros(2, np.float32)}}, wait=True)
+        with pytest.warns(UserWarning, match="existing latest step"):
+            mgr.save(5, {"params": {"w": np.ones(2, np.float32)}},
+                     wait=True)
+        out = restore_state(str(tmp_path / "ck"))
+        # documents the orbax behavior the warning is about
+        np.testing.assert_array_equal(out["state"]["params"]["w"],
+                                      np.zeros(2, np.float32))

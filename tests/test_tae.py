@@ -85,6 +85,34 @@ class TestTaeTrainStep:
                 first = float(m["loss"])
         assert float(m["loss"]) < 0.5 * first
 
+    def test_on_policy_extra_latents(self):
+        """batch["extra_z"] adds the on-policy decoder term: the loss sees
+        the extra latents (changing them changes the loss) and the
+        decoder learns latents far outside the GT posterior (the sampler
+        regime that motivated the term — train/distill.py)."""
+        key, vae, enc, dec, vae_params, params = self._setup()
+        tx = adamw_cosine(1e-3, 0, 60)
+        state = TrainState.create(params, tx)
+        step = jax.jit(make_tae_train_step(vae, enc, dec))
+        img = jax.random.uniform(key, (4, 16, 16, 3))
+        z_far = jax.random.normal(key, (4, 8, 8, 4)) * 10.0
+        _, m1 = step(state, vae_params,
+                     {"image": img, "extra_z": z_far}, key)
+        _, m2 = step(state, vae_params,
+                     {"image": img, "extra_z": z_far * 2.0}, key)
+        _, m0 = step(state, vae_params, {"image": img}, key)
+        assert float(m1["dec_loss"]) != float(m2["dec_loss"])
+        assert float(m1["dec_loss"]) > float(m0["dec_loss"])
+
+        first = None
+        for i in range(50):
+            state, m = step(state, vae_params,
+                            {"image": img, "extra_z": z_far},
+                            jax.random.fold_in(key, i))
+            if first is None:
+                first = float(m["loss"])
+        assert float(m["loss"]) < 0.5 * first
+
     def test_frozen_teacher_untouched(self):
         key, vae, enc, dec, vae_params, params = self._setup()
         tx = adamw_cosine(1e-3, 0, 10)
