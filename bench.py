@@ -378,8 +378,16 @@ def main() -> None:
     }
     if stage_ms:
         result["stage_ms"] = stage_ms
+    # MFU is only honest when flops_per_face reflects the FLOPs actually
+    # executed: either measured via cost_analysis (fused mode) or the
+    # exact-path fallback constant on the exact configuration. Approximate
+    # modes (reduced steps / cache-interval / tiny-AE / int8) execute far
+    # fewer FLOPs than the fallback, which would overstate MFU (>1).
+    exact_config = (args.steps == 50 and args.cache_interval == 1
+                    and args.tiny_ae == "none" and args.quant == "none"
+                    and args.sampler == "ddim")
     roof = load_roofline()
-    if roof:
+    if roof and (flops_per_call or exact_config):
         # MFU against the measured big-matmul bf16 peak (ROOFLINE.json,
         # reproduce with `python bench.py --roofline`)
         peak = roof.get("matmul_tflops", {}).get("peak")
