@@ -236,32 +236,42 @@ def main(argv=None) -> dict:
         json.dump(summary, f, indent=1)
 
     if cfg.check:
-        s = summary
-        # VAE val is UNSEEN identities (cli/common.py:smoke_datasets) — a
-        # real generalization measure. The tiny width-32 VAE plateaus
-        # ~20 dB there (vs 27+ on train-identity recon), from ~12 at init.
-        assert s["vae"]["val_psnr_final"] > s["vae"]["val_psnr_first"] + 5, \
-            "VAE recon PSNR did not improve materially"
-        assert s["vae"]["val_psnr_final"] > 18, "VAE recon PSNR too low"
-        assert s["cr"]["train_loss_final"] < s["cr"]["train_loss_first"] / 3,\
-            "CR train loss did not drop 3x"
-        assert s["cr"]["val_loss_final"] < s["cr"]["val_loss_first"], \
-            "CR val loss did not improve (no generalization)"
-        assert s["idc"]["train_loss_final"] < s["idc"]["train_loss_first"], \
-            "IDC triplet loss did not drop"
-        assert s["idc"]["sample_accuracy"] > 0.9, \
-            "trained IDC does not verify identity on held-out poses"
-        assert (s["denoiser"]["train_loss_final"]
-                < s["denoiser"]["train_loss_first"]), \
-            "denoiser loss did not drop"
-        assert (s["refiner"]["train_loss_final"]
-                < s["refiner"]["train_loss_first"]), \
-            "refiner loss did not drop"
-        assert (s["eval"]["trained"]["psnr"]
-                > s["eval"]["random_init"]["psnr"] + 1.0), \
-            "trained sampler does not beat random init by >=1 dB"
-        print("ALL CONVERGENCE CHECKS PASSED", flush=True)
+        check_summary(summary)
     return summary
+
+
+def check_summary(s: dict) -> None:
+    """Assert every stage converged materially (used by main and callable
+    standalone on a committed convergence.json)."""
+    # VAE val is UNSEEN identities (cli/common.py:smoke_datasets) — a
+    # real generalization measure. The tiny width-32 VAE plateaus
+    # ~20 dB there (vs 27+ on train-identity recon), from ~12 at init.
+    assert s["vae"]["val_psnr_final"] > s["vae"]["val_psnr_first"] + 5, \
+        "VAE recon PSNR did not improve materially"
+    assert s["vae"]["val_psnr_final"] > 18, "VAE recon PSNR too low"
+    assert s["cr"]["train_loss_final"] < s["cr"]["train_loss_first"] / 3, \
+        "CR train loss did not drop 3x"
+    assert s["cr"]["val_loss_final"] < s["cr"]["val_loss_first"], \
+        "CR val loss did not improve (no generalization)"
+    # triplet loss saturates at exactly 0 once every margin is satisfied;
+    # on strong CR stacks (e.g. the n=192 scaled run) the FIRST logged
+    # step is already 0, so "dropped" OR "saturated at ~0" both count —
+    # the end metric is the held-out verification accuracy below.
+    assert (s["idc"]["train_loss_final"] < s["idc"]["train_loss_first"]
+            or s["idc"]["train_loss_final"] < 1e-3), \
+        "IDC triplet loss neither dropped nor saturated at zero"
+    assert s["idc"]["sample_accuracy"] > 0.9, \
+        "trained IDC does not verify identity on held-out poses"
+    assert (s["denoiser"]["train_loss_final"]
+            < s["denoiser"]["train_loss_first"]), \
+        "denoiser loss did not drop"
+    assert (s["refiner"]["train_loss_final"]
+            < s["refiner"]["train_loss_first"]), \
+        "refiner loss did not drop"
+    assert (s["eval"]["trained"]["psnr"]
+            > s["eval"]["random_init"]["psnr"] + 1.0), \
+        "trained sampler does not beat random init by >=1 dB"
+    print("ALL CONVERGENCE CHECKS PASSED", flush=True)
 
 
 if __name__ == "__main__":
