@@ -48,6 +48,10 @@ class Config:
     tae_epochs: int = 120
     tae_lr: float = 3e-4
     steps: str = "50,10,5"     # sampler step counts to evaluate
+    dpmpp_steps: str = "10,5"  # DPM-Solver++ step counts (exact AE +
+    # tae_both per count) — on the trained stack dpmpp@10 + TAE recovers
+    # most of the step-reduction cost (r3: -0.75 dB vs exact DDIM-50
+    # where ddim@10 + TAE costs -1.96 on the same eval draw)
     tae_ckpt_dir: str = "runs/tae_quality/ckpt"
     out: str = os.path.join(REPO, "TAE_QUALITY.json")
     train: bool = True         # False = reuse an existing tae ckpt
@@ -166,6 +170,18 @@ def main(argv=None) -> dict:
         print(f"[tae_quality] steps={steps}: "
               f"exact {row['exact']['psnr']:.2f} dB | "
               f"tiny-dec {row['tae_decode']['psnr']:.2f} | "
+              f"tiny-both {row['tae_both']['psnr']:.2f}", flush=True)
+
+    results["dpmpp"] = {}
+    for steps in parse_ints(cfg.dpmpp_steps):
+        flags = ["--sampler", "dpmpp", "--num-inference-steps", str(steps)]
+        row = {"exact": test_refiner.main(eval_flags + flags),
+               "tae_both": test_refiner.main(
+                   eval_flags + flags
+                   + ["--tae-ckpt", tae_ckpt, "--tae-mode", "both"])}
+        results["dpmpp"][str(steps)] = row
+        print(f"[tae_quality] dpmpp@{steps}: "
+              f"exact {row['exact']['psnr']:.2f} dB | "
               f"tiny-both {row['tae_both']['psnr']:.2f}", flush=True)
 
     with open(cfg.out, "w") as f:
