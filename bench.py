@@ -122,6 +122,12 @@ def main() -> None:
                         "(vae/tiny.py, ~22x fewer decode FLOPs; quality "
                         "bounds on the trained stack in TAE_QUALITY.json). "
                         "Random tiny weights here — bench measures speed")
+    p.add_argument("--tiny-cr", action="store_true",
+                   help="swap the exact Coarse Restoration net for the "
+                        "distilled TinyCR student (models/tiny_cr.py, "
+                        "~50x fewer CR FLOPs; quality bounds on the "
+                        "trained stack in TINY_CR_QUALITY.json). Random "
+                        "tiny weights here — bench measures speed")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
@@ -204,6 +210,14 @@ def main() -> None:
             variables["tiny_enc"] = jax.jit(te.init)(
                 key, jnp.zeros((1, 128, 128, 3)))["params"]
         log(f"tiny-ae mode: {args.tiny_ae}")
+    tiny_cr = None
+    if args.tiny_cr:
+        from hifidiff_tpu.models import TinyCR
+
+        tiny_cr = TinyCR(dtype=dtype)
+        variables["tiny_cr"] = jax.jit(tiny_cr.init)(
+            key, jnp.zeros((1, 128, 128, 3)))["params"]
+        log("tiny-cr: distilled CR student at the CR seam")
     if args.dtype == "bf16" and args.cast_params:
         variables = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16)
@@ -222,8 +236,8 @@ def main() -> None:
 
     flops_per_call = None
     if args.mode == "fused":
-        if args.tiny_ae != "none":
-            raise SystemExit("--tiny-ae requires --mode split")
+        if args.tiny_ae != "none" or args.tiny_cr:
+            raise SystemExit("--tiny-ae/--tiny-cr require --mode split")
         fn = jax.jit(build_refiner_sampler(refiner, cr, vae, schedule,
                                            pipe_cfg))
         t0 = time.time()
@@ -240,7 +254,7 @@ def main() -> None:
     else:
         run = build_refiner_sampler_split(refiner, cr, vae, schedule,
                                           pipe_cfg, tiny_enc=tiny_enc,
-                                          tiny_dec=tiny_dec)
+                                          tiny_dec=tiny_dec, tiny_cr=tiny_cr)
 
     import numpy as _np
 
@@ -266,8 +280,10 @@ def main() -> None:
                  else variables["vae"])
         dec_p = (variables["tiny_dec"] if tiny_dec is not None
                  else variables["vae"])
+        cr_p = (variables["tiny_cr"] if tiny_cr is not None
+                else variables["cr"])
         latents, priors, id_emb = run.stages["prep"](
-            variables["cr"], enc_p, rvars, lr_images, key)
+            cr_p, enc_p, rvars, lr_images, key)
         final = run.stages["scan"](rvars, latents, priors, id_emb)
         sync(final)
 
@@ -296,7 +312,7 @@ def main() -> None:
             lambda cv, vv, rv_, x, k, i: run.stages["prep"](
                 cv, vv, rv_, x + (i % 2).astype(x.dtype),
                 jax.random.fold_in(k, i)),
-            (variables["cr"], enc_p, rvars, lr_images, key))
+            (cr_p, enc_p, rvars, lr_images, key))
         time_stage(
             "scan",
             lambda rv_, z, pr, ie, i: run.stages["scan"](
@@ -370,6 +386,8 @@ def main() -> None:
     sampler_tag = ("ddim" if args.sampler == "ddim" else "dpmpp")
     if args.tiny_ae != "none":
         sampler_tag += f"_tae{args.tiny_ae}_"
+    if args.tiny_cr:
+        sampler_tag += "_tinycr_"
     result = {
         "metric": f"faces_per_sec_per_chip_128px_{sampler_tag}{args.steps}",
         "value": round(faces_per_sec, 3),
@@ -386,8 +404,8 @@ def main() -> None:
     # modes (reduced steps / cache-interval / tiny-AE / int8) execute far
     # fewer FLOPs than the fallback, which would overstate MFU (>1).
     exact_config = (args.steps == 50 and args.cache_interval == 1
-                    and args.tiny_ae == "none" and args.quant == "none"
-                    and args.sampler == "ddim")
+                    and args.tiny_ae == "none" and not args.tiny_cr
+                    and args.quant == "none" and args.sampler == "ddim")
     roof = load_roofline()
     if roof and (flops_per_call or exact_config):
         # MFU against the measured big-matmul bf16 peak (ROOFLINE.json,

@@ -62,6 +62,11 @@ class Config:
     tae_ckpt: str = ""          # orbax dir from cli/train_tae.py: serve
     # with the distilled tiny autoencoder (quality: TAE_QUALITY.json)
     tae_mode: str = "both"      # "decode" or "both" (also tiny encode)
+    tiny_cr_ckpt: str = ""      # orbax dir from cli/train_tiny_cr.py: serve
+    # with the distilled TinyCR at the CR seam (TINY_CR_QUALITY.json)
+    tiny_cr_width: int = 64     # student arch (must match the ckpt)
+    tiny_cr_blocks: int = 4
+    tiny_cr_down: int = 2
     # model-size knobs (defaults = reference architecture)
     size: int = 128
     width: int = 128
@@ -201,6 +206,16 @@ def build_runner(cfg: Config):
             sample_vars["tiny_enc"] = tae_params["enc"]
         print(f"[serve] tiny autoencoder ({cfg.tae_mode}) from "
               f"{cfg.tae_ckpt}", flush=True)
+    tiny_cr = None
+    if cfg.tiny_cr_ckpt:
+        from hifidiff_tpu.models import TinyCR
+        from hifidiff_tpu.train.checkpoint import restore_state
+
+        tiny_cr = TinyCR(width=cfg.tiny_cr_width, blocks=cfg.tiny_cr_blocks,
+                         down_factor=cfg.tiny_cr_down)
+        sample_vars["tiny_cr"] = \
+            restore_state(cfg.tiny_cr_ckpt)["state"]["params"]
+        print(f"[serve] tiny CR from {cfg.tiny_cr_ckpt}", flush=True)
     if cfg.dtype == "bf16":
         sample_vars = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16)
@@ -230,7 +245,7 @@ def build_runner(cfg: Config):
             latent_size=latent, sampler=cfg.sampler,
             cache_interval=cfg.cache_interval, io_uint8=True,
             clip_sample=True, clip_sample_range=cfg.clip_sample_range),
-        tiny_enc=tiny_enc, tiny_dec=tiny_dec)
+        tiny_enc=tiny_enc, tiny_dec=tiny_dec, tiny_cr=tiny_cr)
 
     # each batch gets a fresh fold_in'd key (stateless sampler, stateful
     # counter on the host side)

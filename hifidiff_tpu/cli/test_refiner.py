@@ -65,6 +65,11 @@ class Config:
     # SD-VAE seams for the distilled tiny autoencoder (vae/tiny.py)
     tae_mode: str = "both"      # "decode" = tiny decoder only; "both" also
     # replaces the CR-latent encode (deterministic posterior mean)
+    tiny_cr_ckpt: str = ""      # orbax dir from cli/train_tiny_cr.py: swap
+    # the exact CR for the distilled TinyCR student (models/tiny_cr.py)
+    tiny_cr_width: int = 64     # student arch (must match the ckpt)
+    tiny_cr_blocks: int = 4
+    tiny_cr_down: int = 2
 
 
 def main(argv=None) -> dict:
@@ -89,13 +94,24 @@ def main(argv=None) -> dict:
             sample_vars["tiny_enc"] = tae_params["enc"]
         print(f"tiny autoencoder ({cfg.tae_mode}) from {cfg.tae_ckpt}")
 
+    tiny_cr = None
+    if cfg.tiny_cr_ckpt:
+        from hifidiff_tpu.models import TinyCR
+        from hifidiff_tpu.train.checkpoint import restore_state
+
+        tiny_cr = TinyCR(width=cfg.tiny_cr_width, blocks=cfg.tiny_cr_blocks,
+                         down_factor=cfg.tiny_cr_down)
+        sample_vars["tiny_cr"] = \
+            restore_state(cfg.tiny_cr_ckpt)["state"]["params"]
+        print(f"tiny CR from {cfg.tiny_cr_ckpt}")
+
     sampler = build_refiner_sampler_split(
         refiner, cr, vae, schedule,
         RefinerPipelineConfig(
             num_inference_steps=cfg.num_inference_steps,
             latent_size=latent, sampler=cfg.sampler,
             clip_sample=True, clip_sample_range=cfg.clip_sample_range),
-        tiny_enc=tiny_enc, tiny_dec=tiny_dec)
+        tiny_enc=tiny_enc, tiny_dec=tiny_dec, tiny_cr=tiny_cr)
 
     from hifidiff_tpu.cli.common import smoke_datasets
 

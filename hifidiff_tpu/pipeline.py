@@ -185,6 +185,7 @@ def build_refiner_sampler_split(
     config: RefinerPipelineConfig = RefinerPipelineConfig(),
     tiny_enc: Optional[Any] = None,
     tiny_dec: Optional[Any] = None,
+    tiny_cr: Optional[Any] = None,
 ) -> Callable:
     """Same math as `build_refiner_sampler`, executed as THREE jitted
     stages chained on host: prep (CR + VAE-enc + FPG/IDC + initial noise),
@@ -202,6 +203,11 @@ def build_refiner_sampler_split(
     When set, `variables` must carry "tiny_enc"/"tiny_dec" param trees;
     the tiny encode is deterministic (posterior mean — sample_posterior
     is ignored on that path).
+
+    `tiny_cr` (models/tiny_cr.py, beyond-reference) likewise swaps the
+    exact Coarse Restoration net for its distilled student at the CR
+    seam (quality bounds in TINY_CR_QUALITY.json); `variables` must then
+    carry a "tiny_cr" param tree and "cr" is unused.
     """
     b_lat = (config.latent_size, config.latent_size, config.latent_channels)
 
@@ -210,7 +216,8 @@ def build_refiner_sampler_split(
         if config.io_uint8:
             lr_images = lr_images.astype(jnp.float32) / 255.0
         k_lat, k_enc = jax.random.split(key)
-        cr_face = cr_model.apply({"params": cr_params}, lr_images)
+        cr_face = (tiny_cr or cr_model).apply({"params": cr_params},
+                                              lr_images)
         cr_in = jnp.clip(cr_face, 0.0, 1.0) * 2.0 - 1.0
         if tiny_enc is not None:
             z = tiny_enc.apply({"params": enc_params}, cr_in)
@@ -307,8 +314,10 @@ def build_refiner_sampler_split(
                  else variables["vae"])
         dec_p = (variables["tiny_dec"] if tiny_dec is not None
                  else variables["vae"])
+        cr_p = (variables["tiny_cr"] if tiny_cr is not None
+                else variables["cr"])
         latents, priors, id_emb = stage_prep(
-            variables["cr"], enc_p, rvars, lr_images, key)
+            cr_p, enc_p, rvars, lr_images, key)
         final = stage_scan(rvars, latents, priors, id_emb)
         return stage_decode(dec_p, final)
 

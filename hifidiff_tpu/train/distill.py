@@ -217,6 +217,47 @@ def make_distill_train_step(refiner, cr_model, vae,
     return step
 
 
+def make_tiny_cr_train_step(cr_model, tiny_cr,
+                            gt_weight: float = 0.3) -> Callable:
+    """Distillation step for the tiny Coarse Restoration net
+    (`models/tiny_cr.py`), mirroring `make_tae_train_step`.
+
+    step(state, cr_params, batch) -> (state, metrics). state.params =
+    TinyCR params; the trained exact CR (`models/cr.py`, reference
+    `models/cr/model.py:33-88`) is the frozen teacher. Deterministic —
+    no PRNG key (neither net is stochastic).
+
+    Losses, in the CR seam's conventions ([0,1]-ish UNCLIPPED images —
+    the pipeline clips before the VAE encode but feeds the raw output
+    to IDC, so the student matches the teacher's raw output):
+      teacher: MSE(tiny(lr), cr(lr))
+      gt (when batch carries "gt"): gt_weight * MSE(tiny(lr), gt) —
+        the same direct-supervision mix as the tiny autoencoder; keeps
+        the student from inheriting teacher artifacts it could fix
+        for free.
+    """
+
+    def step(state: TrainState, cr_params, batch):
+        lr_img = batch["lr"]
+        teacher = jax.lax.stop_gradient(
+            cr_model.apply({"params": cr_params}, lr_img))
+        gt = batch.get("gt")
+
+        def loss_fn(params):
+            out = tiny_cr.apply({"params": params}, lr_img)
+            t_loss = mse_loss(out, teacher)
+            g_loss = (mse_loss(out, gt) if gt is not None
+                      else jnp.zeros((), out.dtype))
+            return t_loss + gt_weight * g_loss, (t_loss, g_loss)
+
+        (loss, (t_loss, g_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads), {
+            "loss": loss, "teacher_loss": t_loss, "gt_loss": g_loss}
+
+    return step
+
+
 def make_tae_train_step(vae, tiny_enc, tiny_dec,
                         gt_weight: float = 0.3) -> Callable:
     """Distillation step for the tiny autoencoder (`vae/tiny.py`).

@@ -225,6 +225,37 @@ class TestTrainTAESmoke:
 
 
 @pytest.mark.slow
+class TestTrainTinyCRSmoke:
+    def test_one_epoch_procedural(self, tmp_path):
+        from hifidiff_tpu.cli import test_refiner, train_tiny_cr
+
+        train_tiny_cr.main([
+            "--procedural", "8", "--batch-size", "4", "--num-epochs", "1",
+            "--size", "32", "--cr-width", "8", "--cr-enc-depths", "1,1",
+            "--cr-mid-depth", "1", "--tiny-width", "8", "--tiny-blocks", "1",
+            "--warmup-steps", "1",
+            "--out-dir", str(tmp_path / "out"),
+            "--ckpt-dir", str(tmp_path / "ckpt"),
+            "--log-dir", str(tmp_path / "logs"),
+        ])
+        assert os.path.isdir(tmp_path / "ckpt" / "temp")
+
+        # the checkpoint plugs into the eval CLI's --tiny-cr-ckpt seam
+        res = test_refiner.main([
+            "--procedural", "8", "--size", "32", "--batch-size", "4",
+            "--vae-blocks", "32,32", "--vae-layers", "1",
+            "--width", "16", "--enc-depths", "1,1", "--mid-depth", "1",
+            "--dec-depths", "1,1", "--idc-stages", "1,1,1,1",
+            "--cr-width", "8", "--cr-enc-depths", "1,1",
+            "--cr-mid-depth", "1", "--num-inference-steps", "2",
+            "--grid-every", "0", "--out-dir", str(tmp_path / "eval"),
+            "--tiny-cr-ckpt", str(tmp_path / "ckpt" / "temp"),
+            "--tiny-cr-width", "8", "--tiny-cr-blocks", "1",
+        ])
+        assert np.isfinite(res["psnr"])
+
+
+@pytest.mark.slow
 class TestInferCRSmoke:
     def test_single_image(self, tmp_path):
         from PIL import Image
