@@ -128,6 +128,13 @@ def main() -> None:
                         "~50x fewer CR FLOPs; quality bounds on the "
                         "trained stack in TINY_CR_QUALITY.json). Random "
                         "tiny weights here — bench measures speed")
+    p.add_argument("--tiny-dn", type=int, default=0, metavar="WIDTH",
+                   help="run the denoiser scan on a width-WIDTH distilled "
+                        "FacialRefiner student instead of the full width-128 "
+                        "teacher (cli/train_tiny_dn.py; eps-matching keeps "
+                        "every sampler/step-count unchanged; quality bounds "
+                        "on the trained stack in TINY_DN_QUALITY.json). "
+                        "Random student weights here — bench measures speed")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
@@ -165,7 +172,10 @@ def main() -> None:
 
     cr = CoarseRestoration(dtype=dtype)
     vae = AutoencoderKL(dtype=dtype)
-    refiner = FacialRefiner(dtype=dtype)
+    refiner = (FacialRefiner(width=args.tiny_dn, dtype=dtype)
+               if args.tiny_dn else FacialRefiner(dtype=dtype))
+    if args.tiny_dn:
+        log(f"tiny-dn: width-{args.tiny_dn} distilled denoiser student")
     schedule = DiffusionSchedule.create()
 
     t0 = time.time()
@@ -388,6 +398,8 @@ def main() -> None:
         sampler_tag += f"_tae{args.tiny_ae}_"
     if args.tiny_cr:
         sampler_tag += "_tinycr_"
+    if args.tiny_dn:
+        sampler_tag += f"_tinydn{args.tiny_dn}_"
     result = {
         "metric": f"faces_per_sec_per_chip_128px_{sampler_tag}{args.steps}",
         "value": round(faces_per_sec, 3),
@@ -405,6 +417,7 @@ def main() -> None:
     # fewer FLOPs than the fallback, which would overstate MFU (>1).
     exact_config = (args.steps == 50 and args.cache_interval == 1
                     and args.tiny_ae == "none" and not args.tiny_cr
+                    and not args.tiny_dn
                     and args.quant == "none" and args.sampler == "ddim")
     roof = load_roofline()
     if roof and (flops_per_call or exact_config):

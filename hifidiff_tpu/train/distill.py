@@ -217,6 +217,138 @@ def make_distill_train_step(refiner, cr_model, vae,
     return step
 
 
+def make_tiny_dn_train_step(teacher_refiner, student_refiner,
+                            cr_model, vae, schedule: DiffusionSchedule,
+                            rollout_steps: int = 10,
+                            fwd_weight: float = 0.5,
+                            clip_sample: bool = False,
+                            clip_sample_range: float = 1.0,
+                            scaling: float = SD_VAE_SCALING) -> Callable:
+    """Width distillation of the denoiser (beyond-reference fast scan).
+
+    Unlike progressive distillation (`make_distill_train_step`, which
+    keeps the architecture and shrinks the step count — measured
+    marginal on this stack, DISTILL_QUALITY.json), this shrinks the
+    NETWORK and keeps the stepping semantics: a narrower FacialRefiner
+    student is trained to match the trained teacher's epsilon
+    predictions pointwise, so it drops into every existing sampler
+    (ddim/dpmpp, any step count, caching) unchanged. The reference has
+    no such student — its denoiser always runs at full width
+    (`models/denoiser.py`, `test_refiner.py:85-91`); this is a
+    sanctioned approximation like `--tiny-ae`/`--tiny-cr`, with quality
+    bounds measured by `scripts/tiny_dn_quality.py`.
+
+    step(state, teacher, frozen, batch, key) -> (state, metrics):
+      state    — student TrainState (random init; the student's IDC
+                 SHOULD be seeded from the teacher's — same arch — see
+                 `cli/train_tiny_dn.py`).
+      teacher  — frozen {"params", "batch_stats"} full-width refiner.
+      frozen   — {"cr": cr_params, "vae": vae_params} (stage-4 shape).
+      batch    — {"lr", "gt"} images in [0,1] NHWC.
+
+    Two supervision sources, both eps-space MSE against the teacher:
+      on-policy (weight 1): roll the teacher `rollout_steps` DDIM steps
+        from pure noise (exactly the serving trajectory,
+        `diffusion/sampling.py:sample_ddim` semantics incl.
+        set_alpha_to_one), collect every (x_t, t, eps_teacher) visited,
+        and supervise the student at ALL of them in one folded
+        (K*B)-batch eval — MXU-friendly and exactly the distribution
+        inference visits. Measured-necessary precedent: the TAE lost
+        >3 dB without on-policy latents (`make_tae_train_step`
+        docstring).
+      forward-diffused (weight `fwd_weight`): uniform t on forward-
+        diffused GT latents — dense t coverage off the K-step grid, so
+        the student stays calibrated for OTHER step counts and the
+        dpmpp solver's midpoints.
+    """
+    acp = np.asarray(schedule.alphas_cumprod)
+    acp_table = jnp.asarray(acp, jnp.float32)
+    T = schedule.num_train_timesteps
+    ts = ddim_timesteps(T, rollout_steps)                  # descending
+    prev = ts - T // rollout_steps
+    tab = {
+        "t": jnp.asarray(ts, jnp.float32),
+        "alpha_t": jnp.asarray(acp[ts], jnp.float32),
+        "alpha_prev": jnp.asarray(
+            np.where(prev >= 0, acp[np.clip(prev, 0, None)], 1.0),
+            jnp.float32),
+    }
+
+    def eps_of(refiner, variables, x, t, cr_face, cr_latent):
+        return refiner.apply(
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})},
+            x, t, cr_face, cr_latent, train=False)
+
+    def step(state: TrainState, teacher, frozen, batch, key):
+        cr_params, vae_params = frozen["cr"], frozen["vae"]
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        lr_img, hf_img = batch["lr"], batch["gt"]
+        b = hf_img.shape[0]
+
+        def encode(img, k):
+            x = jnp.clip(img, 0.0, 1.0) * 2.0 - 1.0
+            return vae.apply({"params": vae_params}, x, key=k, sample=True,
+                             method=vae.encode) * scaling
+
+        hf_latent = jax.lax.stop_gradient(encode(hf_img, k1))
+        cr_face = jax.lax.stop_gradient(
+            cr_model.apply({"params": cr_params}, lr_img))
+        cr_latent = jax.lax.stop_gradient(encode(cr_face, k2))
+        shape = (-1,) + (1,) * (hf_latent.ndim - 1)
+
+        # ---- on-policy: teacher DDIM rollout, collect every waypoint ----
+        x_T = jax.random.normal(k3, hf_latent.shape, hf_latent.dtype)
+
+        def rollout(x, c):
+            t_b = jnp.full((b,), c["t"], hf_latent.dtype)
+            eps = eps_of(teacher_refiner, teacher, x, t_b,
+                         cr_face, cr_latent)
+            x_prev = ddim_step(x, eps, jnp.full((b,), c["alpha_t"]),
+                               jnp.full((b,), c["alpha_prev"]),
+                               clip_sample, clip_sample_range)
+            return x_prev, {"x": x, "eps": eps}
+
+        _, way = jax.lax.scan(rollout, x_T, tab)
+        way = jax.lax.stop_gradient(way)
+        K = rollout_steps
+        xs = way["x"].reshape((K * b,) + hf_latent.shape[1:])
+        eps_onpolicy = way["eps"].reshape(xs.shape)
+        t_onpolicy = jnp.repeat(tab["t"], b)
+
+        # ---- forward-diffused: dense-t teacher matching ------------------
+        t_fwd = jax.random.randint(k4, (b,), 0, T).astype(hf_latent.dtype)
+        a_fwd = acp_table[t_fwd.astype(jnp.int32)].reshape(shape)
+        noise = jax.random.normal(k5, hf_latent.shape, hf_latent.dtype)
+        x_fwd = jnp.sqrt(a_fwd) * hf_latent + jnp.sqrt(1.0 - a_fwd) * noise
+        eps_fwd = jax.lax.stop_gradient(
+            eps_of(teacher_refiner, teacher, x_fwd, t_fwd,
+                   cr_face, cr_latent))
+
+        tile = lambda a: jnp.concatenate([a] * K)  # noqa: E731
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            eps_s, mut = student_refiner.apply(
+                variables, xs, t_onpolicy, tile(cr_face), tile(cr_latent),
+                train=True, mutable=["batch_stats"])
+            on_loss = mse_loss(eps_s, eps_onpolicy)
+            eps_sf, mut = student_refiner.apply(
+                {"params": params, "batch_stats": mut["batch_stats"]},
+                x_fwd, t_fwd, cr_face, cr_latent,
+                train=True, mutable=["batch_stats"])
+            fwd_loss = mse_loss(eps_sf, eps_fwd)
+            return (on_loss + fwd_weight * fwd_loss,
+                    (on_loss, fwd_loss, mut["batch_stats"]))
+
+        (loss, (on_loss, fwd_loss, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads, new_stats), {
+            "loss": loss, "onpolicy_loss": on_loss, "fwd_loss": fwd_loss}
+
+    return step
+
+
 def make_tiny_cr_train_step(cr_model, tiny_cr,
                             gt_weight: float = 0.3) -> Callable:
     """Distillation step for the tiny Coarse Restoration net

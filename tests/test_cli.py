@@ -256,6 +256,41 @@ class TestTrainTinyCRSmoke:
 
 
 @pytest.mark.slow
+class TestTrainTinyDNSmoke:
+    def test_one_epoch_procedural(self, tmp_path):
+        from hifidiff_tpu.cli import test_refiner, train_tiny_dn
+
+        stack = [
+            "--size", "32", "--vae-blocks", "32,32", "--vae-layers", "1",
+            "--width", "16", "--enc-depths", "1,1", "--mid-depth", "1",
+            "--dec-depths", "1,1", "--idc-stages", "1,1,1,1",
+            "--cr-width", "8", "--cr-enc-depths", "1,1",
+            "--cr-mid-depth", "1",
+        ]
+        train_tiny_dn.main(stack + [
+            "--procedural", "8", "--batch-size", "4", "--num-epochs", "1",
+            "--tiny-width", "8", "--rollout-steps", "2",
+            "--warmup-steps", "1",
+            "--out-dir", str(tmp_path / "out"),
+            "--ckpt-dir", str(tmp_path / "ckpt"),
+            "--log-dir", str(tmp_path / "logs"),
+        ])
+        assert os.path.isdir(tmp_path / "ckpt" / "temp")
+
+        # the student checkpoint plugs into the ORDINARY refiner seam:
+        # --refiner-ckpt <student> with the student's --width (appended
+        # last, so it overrides the teacher stack's width)
+        res = test_refiner.main(stack + [
+            "--procedural", "8", "--batch-size", "4",
+            "--num-inference-steps", "2",
+            "--grid-every", "0", "--out-dir", str(tmp_path / "eval"),
+            "--refiner-ckpt", str(tmp_path / "ckpt" / "temp"),
+            "--width", "8",
+        ])
+        assert np.isfinite(res["psnr"])
+
+
+@pytest.mark.slow
 class TestInferCRSmoke:
     def test_single_image(self, tmp_path):
         from PIL import Image
