@@ -96,6 +96,12 @@ def main() -> None:
                    help="host workload: Loader worker threads")
     p.add_argument("--remat", type=int, default=0,
                    help="train workload: jax.checkpoint the UNet blocks")
+    p.add_argument("--cache-latents", type=int, default=0,
+                   help="train workload: sample latents from pre-encoded "
+                        "VAE posterior moments instead of encoding images "
+                        "every step (exact for the augmentation-free "
+                        "stage-3 datasets; cli/pretrain_denoiser.py "
+                        "--cache-latents)")
     p.add_argument("--profile", type=str, default="",
                    help="directory for a jax.profiler trace of the timed "
                         "iterations")
@@ -582,20 +588,36 @@ def bench_train(args, dtype, key, log) -> None:
 
     state = TrainState.create(
         dn_params, adamw_cosine(total_steps=1000, warmup_steps=0))
-    step = jax.jit(make_denoiser_train_step(denoiser, vae, schedule),
-                   donate_argnums=0)
     images = jax.random.uniform(key, (args.batch, 128, 128, 3))
+
+    if args.cache_latents:
+        from hifidiff_tpu.train.steps import make_denoiser_train_step_cached
+
+        moments = jax.jit(lambda vp, imgs: vae.apply(
+            {"params": vp}, jnp.clip(imgs, 0.0, 1.0) * 2.0 - 1.0,
+            method=vae.moments))(vae_params, images)
+        jax.block_until_ready(moments)
+        batch = {"mean": moments[0], "logvar": moments[1]}
+        cached = jax.jit(make_denoiser_train_step_cached(denoiser, schedule),
+                         donate_argnums=0)
+        step = lambda st, vp, b, k: cached(st, b, k)  # noqa: E731
+        metric = "train_images_per_sec_denoiser_pretrain_128px_cached"
+    else:
+        batch = images
+        step = jax.jit(make_denoiser_train_step(denoiser, vae, schedule),
+                       donate_argnums=0)
+        metric = "train_images_per_sec_denoiser_pretrain_128px"
 
     import numpy as _np
 
     t0 = time.time()
-    state, m = step(state, vae_params, images, key)
+    state, m = step(state, vae_params, batch, key)
     _np.asarray(m["loss"])  # d2h sync (see `sync` in main)
     log(f"warmup (incl. compile) done in {time.time() - t0:.1f}s")
 
     t0 = time.time()
     for i in range(args.iters):
-        state, m = step(state, vae_params, images,
+        state, m = step(state, vae_params, batch,
                         jax.random.fold_in(key, i))
     _np.asarray(m["loss"])  # d2h sync
     dt = time.time() - t0
@@ -603,7 +625,7 @@ def bench_train(args, dtype, key, log) -> None:
     log(f"{args.iters} iters x batch {args.batch} in {dt:.3f}s, "
         f"loss={float(m['loss']):.4f}")
     print(json.dumps({
-        "metric": "train_images_per_sec_denoiser_pretrain_128px",
+        "metric": metric,
         "value": round(imgs_per_sec, 3),
         "unit": "images/sec",
         "vs_baseline": 0.0,

@@ -51,6 +51,12 @@ class Config:
     seed: int = 0
     check: bool = True          # assert convergence criteria
     name: str = "convdemo"
+    vae_blocks: str = "32,32"   # VAE block widths; len L => factor 2^(L-1).
+    # "32,32" (factor 2) keeps the 32px demo at the reference's 16x16
+    # latent; "32,32,32,32" (factor 8) at --size 128 reproduces the
+    # reference's FULL operating geometry (128px pixels -> 16x16x4 latent,
+    # `pretrain_denoiser.py:256-259`, `train_refiner.py:27`)
+    vae_layers: int = 1
     platform: str = ""          # e.g. "cpu": force the backend before any
     # device touch (the 32px demo is CPU-scale; lets it run when the TPU
     # tunnel is down — an env var cannot override the harness's
@@ -80,7 +86,8 @@ def main(argv=None) -> dict:
     ck = lambda s: os.path.join(cfg.out_dir, "ckpt", s)  # noqa: E731
     out = lambda s: os.path.join(cfg.out_dir, "img", s)  # noqa: E731
     # shared tiny-but-real architecture flags
-    latent_flags = ["--vae-blocks", "32,32", "--vae-layers", "1"]
+    latent_flags = ["--vae-blocks", cfg.vae_blocks,
+                    "--vae-layers", str(cfg.vae_layers)]
     unet_flags = ["--width", "32", "--enc-depths", "1,1", "--mid-depth", "1"]
     common = ["--procedural", str(cfg.n), "--size", str(cfg.size),
               "--batch-size", str(cfg.batch_size), "--seed", str(cfg.seed),

@@ -67,6 +67,12 @@ class Config:
     vae_blocks: str = "128,256,512,512"
     vae_layers: int = 2
     remat: bool = False   # jax.checkpoint the UNet blocks (saves HBM)
+    cache_latents: bool = False  # pre-encode the dataset's VAE posterior
+    # moments ONCE (the VAE is frozen and the HQ datasets are
+    # augmentation-free, so per-step sampling from cached moments matches
+    # per-step encoding exactly — same PRNG draw, bit-identical latent —
+    # `train/steps.py:make_denoiser_train_step_cached`) and drop the
+    # frozen encoder from every train step
     ema_decay: float = 0.0  # >0 keeps an EMA of the params (e.g. 0.9999)
     # for sampling/eval — standard diffusion practice the reference omits
     seed: int = 0
@@ -120,6 +126,31 @@ def main(argv=None) -> None:
 
     vae_params = load_vae_params(vae, cfg.vae_ckpt, key, cfg.size)
 
+    if cfg.cache_latents:
+        # One pass of the frozen encoder over the local dataset; training
+        # then samples latents from the cached (mean, logvar) — exact
+        # (see make_denoiser_train_step_cached). Every process caches the
+        # full dataset: the global shuffle reshuffles per epoch, so shard
+        # membership is not stable across epochs.
+        from hifidiff_tpu.data import ArrayDataset
+
+        moments_fn = jax.jit(lambda vp, imgs: vae.apply(
+            {"params": vp},
+            jnp.clip(imgs, 0.0, 1.0) * 2.0 - 1.0, method=vae.moments))
+        enc_loader = Loader(train_ds, cfg.batch_size, shuffle=False,
+                            num_threads=2)
+        means, logvars = [], []
+        for b in enc_loader:
+            m, lv = jax.device_get(moments_fn(vae_params, b["image"]))
+            means.append(np.asarray(m))
+            logvars.append(np.asarray(lv))
+        train_ds = ArrayDataset({"mean": np.concatenate(means),
+                                 "logvar": np.concatenate(logvars)})
+        train_loader = Loader(train_ds, cfg.batch_size, shuffle=True,
+                              seed=cfg.seed, shard_index=process_index(),
+                              num_shards=process_count())
+        print(f"cached VAE moments for {len(train_ds)} images")
+
     total_steps = len(train_loader) * cfg.num_epochs
     tx = adamw_cosine(cfg.lr, cfg.warmup_steps, total_steps,
                       accumulate_steps=cfg.accum_steps)
@@ -136,8 +167,17 @@ def main(argv=None) -> None:
     mesh = make_mesh()
     state = replicate_global(state, mesh)
     vae_params = replicate_global(vae_params, mesh)
-    train_step = jax.jit(make_denoiser_train_step(denoiser, vae, schedule),
-                         donate_argnums=0)
+    if cfg.cache_latents:
+        from hifidiff_tpu.train.steps import make_denoiser_train_step_cached
+
+        cached_step = jax.jit(
+            make_denoiser_train_step_cached(denoiser, schedule),
+            donate_argnums=0)
+        train_step = lambda st, vp, batch, k: cached_step(st, batch, k)  # noqa: E731
+    else:
+        train_step = jax.jit(
+            make_denoiser_train_step(denoiser, vae, schedule),
+            donate_argnums=0)
     sampler = jax.jit(build_unconditional_sampler(
         denoiser, vae, schedule, latent_size=latent,
         batch=cfg.sample_size))
@@ -150,9 +190,10 @@ def main(argv=None) -> None:
 
     for epoch in range(start_epoch, cfg.num_epochs):
         losses = []
-        for images in device_prefetch(
-                (b["image"] for b in train_loader), mesh):
-            state, metrics = train_step(state, vae_params, images,
+        batch_iter = (iter(train_loader) if cfg.cache_latents
+                      else (b["image"] for b in train_loader))
+        for batch in device_prefetch(batch_iter, mesh):
+            state, metrics = train_step(state, vae_params, batch,
                                         jax.random.fold_in(key, step))
             timer.tick()
             losses.append(float(metrics["loss"]))

@@ -1,4 +1,5 @@
-from hifidiff_tpu.data.core import ConcatDataset, Dataset, Loader
+from hifidiff_tpu.data.core import (ArrayDataset, ConcatDataset,
+                                    Dataset, Loader)
 from hifidiff_tpu.data.kface import (
     KFaceCropDataset,
     KFaceCropHRDataset,
@@ -16,7 +17,7 @@ from hifidiff_tpu.data.multipie import (
 from hifidiff_tpu.data.pretraining import CelebAHQDataset, MultiPIEHQDataset
 
 __all__ = [
-    "Dataset", "ConcatDataset", "Loader",
+    "ArrayDataset", "Dataset", "ConcatDataset", "Loader",
     "KFaceDataset", "KFaceCropDataset", "KFaceIDCDataset",
     "KFaceCropIDCDataset", "KFaceHRDataset", "KFaceCropHRDataset",
     "MultiPIEDataset", "MultiPIESingleViewDataset",

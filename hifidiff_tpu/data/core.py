@@ -46,6 +46,24 @@ class ConcatDataset(Dataset):
         return self.datasets[d][index - int(self._offsets[d])]
 
 
+class ArrayDataset(Dataset):
+    """In-memory dataset over a dict of equally-long numpy arrays (the
+    torch `TensorDataset` equivalent). Used by the latent-moments cache in
+    stage-3 pretraining (`cli/pretrain_denoiser.py --cache-latents`)."""
+
+    def __init__(self, arrays: Dict[str, np.ndarray]):
+        lens = {k: len(v) for k, v in arrays.items()}
+        assert len(set(lens.values())) == 1, f"ragged arrays: {lens}"
+        self.arrays = dict(arrays)
+        self._n = next(iter(lens.values()))
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, index: int) -> Sample:
+        return {k: v[index] for k, v in self.arrays.items()}
+
+
 def _collate(samples: List[Sample]) -> Sample:
     out: Sample = {}
     for k in samples[0]:

@@ -161,6 +161,49 @@ def make_denoiser_train_step(model, vae, schedule: DiffusionSchedule,
     return step
 
 
+def make_denoiser_train_step_cached(model, schedule: DiffusionSchedule,
+                                    scaling: float = SD_VAE_SCALING
+                                    ) -> Callable:
+    """Latent-moments-cached variant of `make_denoiser_train_step`.
+
+    The stage-3 VAE is FROZEN and the HQ pretraining datasets apply no
+    augmentation (`dataset_pretraining.py:15-73` resize only), so the
+    posterior moments (mean, logvar) of every image are constants across
+    epochs. Pre-encoding them once and sampling
+    `z = mean + exp(0.5*logvar) * eps` per step matches the reference's
+    per-step `vae.encode(...).latent_dist.sample()`
+    (`pretrain_denoiser.py:68-73,149-150`) under the same PRNG draw —
+    bit-identical sampled latent and loss, params to XLA-recompilation
+    rounding (`tests/test_train.py::TestCachedLatentStep`) — while
+    removing the frozen encoder from every training step.
+
+    `batch` is {"mean": (B,h,w,4), "logvar": (B,h,w,4)} (unscaled —
+    exactly `AutoencoderKL.moments` output; the `scaling` is applied here,
+    after sampling, matching the uncached step's order of operations).
+    """
+
+    def step(state: TrainState, batch, key):
+        k_enc, k_noise, k_t = jax.random.split(key, 3)
+        mean, logvar = batch["mean"], batch["logvar"]
+        z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+            k_enc, mean.shape, mean.dtype)
+        latents = z * scaling
+        noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+        t = jax.random.randint(k_t, (latents.shape[0],), 0,
+                               schedule.num_train_timesteps)
+        noisy = schedule.add_noise(latents, noise, t)
+
+        def loss_fn(params):
+            eps = model.apply({"params": params}, noisy,
+                              t.astype(jnp.float32))
+            return mse_loss(eps, noise)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), {"loss": loss}
+
+    return step
+
+
 def make_vae_train_step(vae, beta_kl: float = 1e-6) -> Callable:
     """Recon + KL training step for `AutoencoderKL` (beyond-reference
     utility: the PyTorch repo freezes an externally pretrained SD-2.1 VAE,

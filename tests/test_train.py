@@ -186,6 +186,50 @@ class TestDataParallelStep:
         assert max(jax.tree_util.tree_leaves(delta)) > 0.0
 
 
+class TestCachedLatentStep:
+    def test_bit_identical_to_image_step(self):
+        """`make_denoiser_train_step_cached` fed the frozen VAE's cached
+        posterior moments must reproduce the image-fed step: same PRNG key
+        => bit-identical posterior sample and loss; updated params agree
+        to XLA-recompilation rounding (the two steps are different fused
+        programs, so backward-pass float rounding differs at ~1e-11) —
+        the correctness contract of `--cache-latents`."""
+        from hifidiff_tpu.train.steps import make_denoiser_train_step_cached
+
+        denoiser = Denoiser(width=16, enc_nums=(1, 1), mid_num=1,
+                            dec_nums=(1, 1))
+        vae = AutoencoderKL(block_out=(32, 32, 32), layers_per_block=1)
+        schedule = DiffusionSchedule.create()
+        key = jax.random.PRNGKey(3)
+
+        dn_params = denoiser.init(key, jnp.zeros((1, 8, 8, 4)),
+                                  jnp.zeros((1,)))["params"]
+        vae_params = vae.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
+        tx = adamw_cosine(total_steps=100, warmup_steps=0)
+        images = jnp.asarray(
+            RNG.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32))
+
+        step_img = jax.jit(make_denoiser_train_step(denoiser, vae, schedule))
+        step_cached = jax.jit(make_denoiser_train_step_cached(
+            denoiser, schedule))
+
+        s_img, m_img = step_img(TrainState.create(dn_params, tx),
+                                vae_params, images, key)
+
+        mean, logvar = vae.apply(
+            {"params": vae_params}, jnp.clip(images, 0.0, 1.0) * 2.0 - 1.0,
+            method=vae.moments)
+        s_c, m_c = step_cached(TrainState.create(dn_params, tx),
+                               {"mean": mean, "logvar": logvar}, key)
+
+        np.testing.assert_array_equal(np.asarray(m_img["loss"]),
+                                      np.asarray(m_c["loss"]))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8),
+            s_img.params, s_c.params)
+
+
 class TestEMA:
     def test_ema_tracks_params(self):
         import optax
