@@ -72,6 +72,8 @@ class Config:
     intervals: str = "2,3,5"
     dpmpp_steps: str = "10,15,20"
     combos: str = "20:2,15:2,10:2,15:3"  # "steps:cache" compositions
+    vae_blocks: str = "32,32"  # demo VAE widths; len L => factor 2^(L-1)
+    # ("32,32,32,32" for the 128px reference-geometry tier)
     platform: str = "cpu"   # the tiny 32px stack needs no TPU; "" = default
 
 
@@ -91,8 +93,9 @@ def main(argv=None) -> dict:
 
     cr = CoarseRestoration(width=cfg.width, resolution=cfg.size,
                            enc_nums=(1, 1), mid_num=1, dec_nums=(2, 2))
-    vae = AutoencoderKL(block_out=(32, 32), layers_per_block=1)
-    latent = cfg.size // 2
+    vae_blocks = tuple(int(x) for x in cfg.vae_blocks.split(","))
+    vae = AutoencoderKL(block_out=vae_blocks, layers_per_block=1)
+    latent = cfg.size // (2 ** (len(vae_blocks) - 1))
     refiner = FacialRefiner(latent_size=latent, width=cfg.width,
                             enc_nums=(1, 1), mid_num=1, dec_nums=(1, 1),
                             idc_stage_sizes=(1, 1, 1, 1))

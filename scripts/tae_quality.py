@@ -55,6 +55,8 @@ class Config:
     tae_ckpt_dir: str = "runs/tae_quality/ckpt"
     out: str = os.path.join(REPO, "TAE_QUALITY.json")
     train: bool = True         # False = reuse an existing tae ckpt
+    vae_blocks: str = "32,32"  # demo VAE widths; len L => factor 2^(L-1)
+    # ("32,32,32,32" for the 128px reference-geometry tier)
     on_policy: bool = True     # harvest sampler latents (train split) and
     # add the on-policy decoder term (train_tae --extra-latents): without
     # it the tiny decoder only sees GT posteriors and loses >3 dB on the
@@ -123,7 +125,7 @@ def main(argv=None) -> dict:
     tae_ckpt = os.path.join(cfg.tae_ckpt_dir, cfg.name)
     common = ["--procedural", str(cfg.procedural), "--size", str(cfg.size),
               "--batch-size", str(cfg.batch_size), "--seed", str(cfg.seed),
-              "--vae-blocks", "32,32", "--vae-layers", "1"]
+              "--vae-blocks", cfg.vae_blocks, "--vae-layers", "1"]
 
     eval_flags = common + [
         "--width", "32", "--enc-depths", "1,1", "--mid-depth", "1",

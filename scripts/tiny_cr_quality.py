@@ -50,6 +50,7 @@ class Config:
     procedural: int = 64
     batch_size: int = 8
     seed: int = 0
+    vae_blocks: str = "32,32"  # demo VAE widths; len L => factor 2^(L-1)
     epochs: int = 240
     lr: float = 3e-4
     # student arch for the size-32 stack (the 128px serving student uses
@@ -94,7 +95,7 @@ def main(argv=None) -> dict:
             "--save-model-epoch", "80"])
 
     eval_base = common + [
-        "--vae-blocks", "32,32", "--vae-layers", "1",
+        "--vae-blocks", cfg.vae_blocks, "--vae-layers", "1",
         "--width", "32", "--enc-depths", "1,1", "--mid-depth", "1",
         "--dec-depths", "1,1", "--idc-stages", "1,1,1,1",
         "--refiner-ckpt", ck("refiner"), "--cr-ckpt", ck("cr"),

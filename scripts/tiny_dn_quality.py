@@ -52,6 +52,7 @@ class Config:
     procedural: int = 64
     batch_size: int = 8
     seed: int = 0
+    vae_blocks: str = "32,32"  # demo VAE widths; len L => factor 2^(L-1)
     epochs: int = 160
     lr: float = 3e-4
     rollout_steps: int = 10
@@ -85,7 +86,7 @@ def main(argv=None) -> dict:
     teacher = ["--width", "32", "--enc-depths", "1,1", "--mid-depth", "1",
                "--dec-depths", "1,1", "--idc-stages", "1,1,1,1",
                "--cr-width", "32", "--cr-enc-depths", "1,1",
-               "--cr-mid-depth", "1", "--vae-blocks", "32,32",
+               "--cr-mid-depth", "1", "--vae-blocks", cfg.vae_blocks,
                "--vae-layers", "1"]
 
     if cfg.train:
