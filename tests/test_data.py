@@ -212,6 +212,35 @@ class TestDegradations:
         np.testing.assert_allclose(a, b)
 
 
+class TestArrayDataset:
+    """In-memory dict-of-arrays dataset (the latent-moments cache backing
+    store for `pretrain_denoiser --cache-latents`)."""
+
+    def test_round_trip_through_loader(self):
+        import numpy as np
+
+        from hifidiff_tpu.data import ArrayDataset, Loader
+
+        mean = np.arange(24, dtype=np.float32).reshape(6, 2, 2)
+        lv = -mean
+        ds = ArrayDataset({"mean": mean, "logvar": lv})
+        assert len(ds) == 6
+        batches = list(Loader(ds, 4, shuffle=False))
+        assert [b["mean"].shape[0] for b in batches] == [4, 2]
+        np.testing.assert_array_equal(
+            np.concatenate([b["mean"] for b in batches]), mean)
+        np.testing.assert_array_equal(
+            np.concatenate([b["logvar"] for b in batches]), lv)
+
+    def test_ragged_arrays_rejected(self):
+        import numpy as np
+
+        from hifidiff_tpu.data import ArrayDataset
+
+        with pytest.raises(AssertionError):
+            ArrayDataset({"a": np.zeros((3,)), "b": np.zeros((4,))})
+
+
 class TestLoaderSharding:
     """Multi-process Loader sharding (Accelerate-sharded-DataLoader
     equivalent): disjoint cover, equal batch counts, DistributedSampler
