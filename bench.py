@@ -107,10 +107,23 @@ def main() -> None:
                         "iterations")
     p.add_argument("--no-hoist", action="store_true",
                    help="disable scan-invariant hoisting (A/B diagnostics)")
-    p.add_argument("--stage-times", type=int, nargs="?", const=1, default=1,
+    p.add_argument("--stage-times", type=int, nargs="?", const=1, default=0,
                    help="split mode: measure per-stage (prep/scan/decode) "
-                        "times; included in the JSON line (0 disables; "
-                        "bare --stage-times still accepted as 1)")
+                        "times; included in the JSON line (bare "
+                        "--stage-times accepted as 1). OFF by default: it "
+                        "compiles three extra scan-of-stage programs before "
+                        "the headline windows, which pushed the default run "
+                        "past the round-3 driver timeout (VERDICT r3 #1)")
+    p.add_argument("--host-init", type=int, default=0,
+                   help="EXPERIMENTAL: synthesize params host-side from "
+                        "eval_shape'd trees + one device_put instead of "
+                        "running the init programs on-device. Measured "
+                        "NEGATIVE r4: eval_shape tracing (~60 s) + transfer "
+                        "(~15-28 s) costs more than the cache-warm on-device "
+                        "inits (~34-58 s), and a first value-naive cut also "
+                        "halved pipeline throughput by knocking the STN warp "
+                        "off its fast path (see synth_params). Kept for "
+                        "A/B diagnostics")
     p.add_argument("--roofline", action="store_true",
                    help="measure the chip's compute/bandwidth envelope "
                         "(bf16 matmul TFLOP/s at several shapes, HBM GB/s), "
@@ -184,16 +197,116 @@ def main() -> None:
         log(f"tiny-dn: width-{args.tiny_dn} distilled denoiser student")
     schedule = DiffusionSchedule.create()
 
+    # ---- overlapped cold-start (plain split path only) -----------------
+    # the three STAGE compiles need only input avals, never init values, so
+    # they can run server-side concurrently with the three INIT compiles:
+    # cold-start drops from init(~130 s) + stages(~185 s) serial to
+    # roughly max() of the two. The side thread traces with
+    # ShapeDtypeStructs (no device work) and warm_compile pins the AOT
+    # executables; on any failure it logs and leaves the lazy-compile
+    # path intact.
+    plain_split = (args.mode == "split" and args.quant == "none"
+                   and args.tiny_ae == "none" and not args.tiny_cr
+                   and not args.host_init)
+    pipe_cfg = RefinerPipelineConfig(num_inference_steps=args.steps,
+                                     unroll=args.unroll, io_uint8=True,
+                                     cache_interval=args.cache_interval,
+                                     hoist_invariants=not args.no_hoist,
+                                     sampler=args.sampler)
+    lr_images = (jax.random.uniform(key, (args.batch, 128, 128, 3)) * 255
+                 ).astype(jnp.uint8)
+    run = None
+    warm_thread = None
+    if plain_split:
+        run = build_refiner_sampler_split(refiner, cr, vae, schedule,
+                                          pipe_cfg)
+
+        def _aval_warm():
+            try:
+                cast = args.dtype == "bf16" and args.cast_params
+
+                def cast_tree(t):
+                    return jax.tree_util.tree_map(
+                        lambda s: jax.ShapeDtypeStruct(
+                            s.shape,
+                            jnp.bfloat16 if (cast and s.dtype == jnp.float32)
+                            else s.dtype), t)
+
+                cr_a = cast_tree(jax.eval_shape(
+                    cr.init, key,
+                    jax.ShapeDtypeStruct((1, 128, 128, 3),
+                                         jnp.float32)))["params"]
+                vae_a = cast_tree(jax.eval_shape(
+                    vae.init, key,
+                    jax.ShapeDtypeStruct((1, 128, 128, 3),
+                                         jnp.float32)))["params"]
+                rv_a = cast_tree(jax.eval_shape(
+                    lambda k: refiner.init(
+                        k, jnp.zeros((1, 16, 16, 4)), jnp.zeros((1,)),
+                        jnp.zeros((1, 128, 128, 3)),
+                        jnp.zeros((1, 16, 16, 4)), train=False), key))
+                var_avals = {
+                    "refiner": {"params": rv_a["params"],
+                                "batch_stats": rv_a.get("batch_stats", {})},
+                    "cr": cr_a, "vae": vae_a,
+                }
+                run.warm_compile(
+                    var_avals,
+                    jax.ShapeDtypeStruct(lr_images.shape, lr_images.dtype),
+                    key)
+            except Exception as e:  # noqa: BLE001
+                log("overlapped warm_compile failed (lazy path will "
+                    "compile instead):", e)
+
+        import threading
+
+        warm_thread = threading.Thread(target=_aval_warm, daemon=True)
+        warm_thread.start()
+    # --------------------------------------------------------------------
+
     t0 = time.time()
-    cr_params = jax.jit(cr.init)(key, jnp.zeros((1, 128, 128, 3)))["params"]
-    vae_params = jax.jit(vae.init)(key, jnp.zeros((1, 128, 128, 3)))["params"]
-    rv = jax.jit(
-        lambda k: refiner.init(k, jnp.zeros((1, 16, 16, 4)), jnp.zeros((1,)),
-                               jnp.zeros((1, 128, 128, 3)),
-                               jnp.zeros((1, 16, 16, 4)), train=False)
-    )(key)
-    jax.block_until_ready((cr_params, vae_params, rv))
-    log(f"init done in {time.time() - t0:.1f}s")
+    if args.host_init:
+        # synthesize params on the host from eval_shape'd trees instead of
+        # compiling + executing the three init programs on the device: the
+        # bench measures speed on random weights either way, and the init
+        # compiles cost ~58 s per run even cache-warm through the TPU
+        # tunnel (r4 measurement; the CPU backend is no better — XLA:CPU
+        # compile of these graphs runs minutes). Kernel leaves get small
+        # normal values, 1-D leaves zeros — TPU runtime is data-
+        # independent, only shapes/dtypes matter here.
+        cr_params = synth_params(jax.eval_shape(
+            cr.init, key, jnp.zeros((1, 128, 128, 3))))["params"]
+        vae_params = synth_params(jax.eval_shape(
+            vae.init, key, jnp.zeros((1, 128, 128, 3))))["params"]
+        rv = synth_params(jax.eval_shape(
+            lambda k: refiner.init(k, jnp.zeros((1, 16, 16, 4)),
+                                   jnp.zeros((1,)),
+                                   jnp.zeros((1, 128, 128, 3)),
+                                   jnp.zeros((1, 16, 16, 4)), train=False),
+            key))
+    else:
+        # the three init programs are independent: compile them
+        # concurrently (the tunnel parallelizes server-side, measured r4
+        # ~2.5x on 3 programs — shaves cold-start toward the driver's
+        # bench timeout)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(3) as ex:
+            f_cr = ex.submit(lambda: jax.jit(cr.init)(
+                key, jnp.zeros((1, 128, 128, 3)))["params"])
+            f_vae = ex.submit(lambda: jax.jit(vae.init)(
+                key, jnp.zeros((1, 128, 128, 3)))["params"])
+            f_rv = ex.submit(jax.jit(
+                lambda k: refiner.init(k, jnp.zeros((1, 16, 16, 4)),
+                                       jnp.zeros((1,)),
+                                       jnp.zeros((1, 128, 128, 3)),
+                                       jnp.zeros((1, 16, 16, 4)),
+                                       train=False)), key)
+            cr_params, vae_params, rv = (f_cr.result(), f_vae.result(),
+                                         f_rv.result())
+        jax.block_until_ready((cr_params, vae_params, rv))
+    log(f"init done in {time.time() - t0:.1f}s"
+        + (" (host synth)" if args.host_init else ""))
 
     refiner_params = rv["params"]
     if args.quant == "int8":
@@ -219,37 +332,46 @@ def main() -> None:
 
         te, td = tiny_autoencoder_pair(8, dtype=dtype)
         tiny_dec = td
-        variables["tiny_dec"] = jax.jit(td.init)(
-            key, jnp.zeros((1, 16, 16, 4)))["params"]
+
+        def tiny_init(mod, shape):
+            if args.host_init:
+                return synth_params(jax.eval_shape(
+                    mod.init, key, jnp.zeros(shape)))["params"]
+            return jax.jit(mod.init)(key, jnp.zeros(shape))["params"]
+
+        variables["tiny_dec"] = tiny_init(td, (1, 16, 16, 4))
         if args.tiny_ae == "both":
             tiny_enc = te
-            variables["tiny_enc"] = jax.jit(te.init)(
-                key, jnp.zeros((1, 128, 128, 3)))["params"]
+            variables["tiny_enc"] = tiny_init(te, (1, 128, 128, 3))
         log(f"tiny-ae mode: {args.tiny_ae}")
     tiny_cr = None
     if args.tiny_cr:
         from hifidiff_tpu.models import TinyCR
 
         tiny_cr = TinyCR(dtype=dtype)
-        variables["tiny_cr"] = jax.jit(tiny_cr.init)(
-            key, jnp.zeros((1, 128, 128, 3)))["params"]
+        if args.host_init:
+            variables["tiny_cr"] = synth_params(jax.eval_shape(
+                tiny_cr.init, key, jnp.zeros((1, 128, 128, 3))))["params"]
+        else:
+            variables["tiny_cr"] = jax.jit(tiny_cr.init)(
+                key, jnp.zeros((1, 128, 128, 3)))["params"]
         log("tiny-cr: distilled CR student at the CR seam")
     if args.dtype == "bf16" and args.cast_params:
         variables = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16)
             if a.dtype == jnp.float32 else a, variables)
         log("params cast to bf16")
+    if args.host_init:
+        # one bulk host->device transfer of the (bf16-cast) params
+        t0 = time.time()
+        variables = jax.device_put(variables, jax.devices()[0])
+        jax.block_until_ready(variables)
+        log(f"params device_put in {time.time() - t0:.1f}s")
 
-    # uint8 at the image boundary: the production serving interface, and on
-    # the axon tunnel it avoids shipping f32 pixels over the host link
-    pipe_cfg = RefinerPipelineConfig(num_inference_steps=args.steps,
-                                     unroll=args.unroll, io_uint8=True,
-                                     cache_interval=args.cache_interval,
-                                     hoist_invariants=not args.no_hoist,
-                                     sampler=args.sampler)
-    lr_images = (jax.random.uniform(key, (args.batch, 128, 128, 3)) * 255
-                 ).astype(jnp.uint8)
-
+    # (pipe_cfg / lr_images / the plain-split `run` were built up front so
+    # the stage compiles could overlap init — see the overlapped-cold-start
+    # block above; uint8 at the image boundary is the production serving
+    # interface and avoids shipping f32 pixels over the host link)
     flops_per_call = None
     if args.mode == "fused":
         if args.tiny_ae != "none" or args.tiny_cr:
@@ -267,7 +389,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             log("cost_analysis unavailable:", e)
         run = compiled
-    else:
+    elif run is None:
         run = build_refiner_sampler_split(refiner, cr, vae, schedule,
                                           pipe_cfg, tiny_enc=tiny_enc,
                                           tiny_dec=tiny_dec, tiny_cr=tiny_cr)
@@ -284,6 +406,17 @@ def main() -> None:
         _np.asarray(leaf.ravel()[0:1])
 
     t0 = time.time()
+    if warm_thread is not None:
+        # stage compiles have been running since before init; wait for them
+        warm_thread.join()
+        log(f"overlapped stage compile joined {time.time() - t0:.1f}s "
+            "after init")
+    elif hasattr(run, "warm_compile"):
+        # compile the three stage programs concurrently (see
+        # pipeline.warm_compile); subsequent run() calls use the AOT
+        # executables
+        run.warm_compile(variables, lr_images, key)
+        log(f"parallel stage compile done in {time.time() - t0:.1f}s")
     out = run(variables, lr_images, key)
     sync(out)
     log(f"warmup (incl. compile) done in {time.time() - t0:.1f}s")
@@ -368,15 +501,21 @@ def main() -> None:
         }))
         return
 
-    # Re-warm right before the windows: the stage-timing section above may
-    # have just compiled its scan programs server-side, and residual
-    # server work drains into the first subsequent dispatches (measured: a
-    # windows=1 run straight after cold stage timing read 82 f/s with
-    # healthy 101.7/186.0/134.3 ms stage times; a clean rerun read 273).
-    # Two untimed end-to-end iterations + sync absorb that.
-    for i in range(2):
-        out = run(variables, lr_images, jax.random.fold_in(key, 10_000 + i))
-    sync(out)
+    if args.stage_times:
+        # Re-warm right before the windows, ONLY when stage timing actually
+        # ran: it just compiled its scan programs server-side, and residual
+        # server work drains into the first subsequent dispatches
+        # (measured: a windows=1 run straight after cold stage timing read
+        # 82 f/s with healthy 101.7/186.0/134.3 ms stage times; a clean
+        # rerun read 273). Two untimed end-to-end iterations + sync absorb
+        # that. Without stage timing the post-warmup state is already
+        # clean, and unconditional re-warms cost end-of-round driver
+        # budget (VERDICT r3 #1). Warm-up keys come from a disjoint fold
+        # domain (negative) so they can never collide with the window keys
+        # fold_in(key, w*iters+i) at any --windows/--iters (ADVICE r3).
+        for i in range(2):
+            out = run(variables, lr_images, jax.random.fold_in(key, -1 - i))
+        sync(out)
 
     # multiple measurement windows. The MEDIAN window is the number of
     # record (VERDICT r2 item 9: best-of-N over a ~20%-drifting tunnel
@@ -421,6 +560,9 @@ def main() -> None:
         "value": round(faces_per_sec, 3),
         "unit": "faces/sec",
         "vs_baseline": round(faces_per_sec / baseline_faces_per_sec, 3),
+        # the denominator is the ANALYTIC A100-torch estimate (module
+        # docstring) — no measured torch/GPU number exists in this env
+        "baseline": "analytic_a100_torch_estimate",
         "windows": [round(f, 1) for f in window_fps],
         "spread_pct": round(spread_pct, 1),
     }
@@ -444,7 +586,42 @@ def main() -> None:
             result["mfu"] = round(
                 flops_per_face * faces_per_sec / (peak * 1e12), 4)
             result["roofline_peak_tflops"] = peak
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+
+def synth_params(shapes):
+    """Materialize an eval_shape'd variable tree on the host: kernels
+    (ndim>=2) get small fan-in-scaled normal values, norm scales and BN
+    vars get ones, biases/means zeros — i.e. value ranges close to a real
+    flax init. Value sanity matters even for a speed bench: an all-zero
+    first cut (LN scale 0, BN var 0) measured ~155 f/s where real-init
+    params measured ~294 — degenerate activations are not free on the
+    chip. Bench-only helper; see --host-init."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+
+    def make(path, s):
+        names = [str(p.key) for p in path if hasattr(p, "key")]
+        name = names[-1] if names else ""
+        # STN theta heads (fc2 -> 6 affine params) are identity-init in the
+        # real model (nn/stn.py). Random theta here is not just unfaithful,
+        # it is SLOW: garbage affine spans push the span-adaptive warp off
+        # its K=4 fast path onto the gather path — measured 152 vs 292 f/s
+        # end-to-end (r4 bisection, CR subtree).
+        if "fc2" in names and s.shape[-1] == 6:
+            if name == "bias":
+                return np.array([1, 0, 0, 0, 1, 0], dtype=s.dtype)
+            return np.zeros(s.shape, s.dtype)
+        if len(s.shape) >= 2:
+            fan_in = int(np.prod(s.shape[:-1])) or 1
+            a = rng.normal(0.0, fan_in ** -0.5, s.shape)
+            return np.asarray(a, dtype=s.dtype)
+        if name in ("scale", "var"):
+            return np.ones(s.shape, s.dtype)
+        return np.zeros(s.shape, s.dtype)
+
+    return jax.tree_util.tree_map_with_path(make, shapes)
 
 
 def load_roofline() -> dict:
