@@ -100,13 +100,29 @@ def smoke_datasets(cfg, keys, val_keys=None):
         # VAE/denoiser); triplet/restoration stages keep the default-8
         # identity space (each id seen 8x per 64 samples — a denser space
         # whose triplets are NOT trivially margin-satisfied at init)
-        num_ids = 8 if pose_dependent else max(8, cfg.procedural // 4)
+        # hard-identity knobs (VERDICT r3 #4); absent fields = legacy family
+        hard_kw = dict(
+            id_spread=getattr(cfg, "proc_id_spread", 1.0),
+            light_jitter=getattr(cfg, "proc_light_jitter", 0.0))
+        if pose_dependent:
+            # legacy family: 8 fixed identities. Hard family (id_spread<1):
+            # metric learning over 8 tightly-packed identities overfits CR
+            # artifacts (n=64 probe: trained acc <= random acc, val triplet
+            # loss rising) — scale the identity count with the set size so
+            # each id still gets ~16 poses and the embedding must rank a
+            # real identity manifold
+            num_ids = (8 if hard_kw["id_spread"] >= 1.0
+                       else max(8, cfg.procedural // 16))
+        else:
+            num_ids = max(8, cfg.procedural // 4)
         val_kw = (dict(seed=cfg.seed, start=10_000) if pose_dependent
                   else dict(seed=cfg.seed + 7919))
         return (ProceduralFaceDataset(cfg.procedural, cfg.size, keys=keys,
-                                      num_ids=num_ids, seed=cfg.seed),
+                                      num_ids=num_ids, seed=cfg.seed,
+                                      **hard_kw),
                 ProceduralFaceDataset(n_val, cfg.size, num_ids=num_ids,
-                                      keys=val_keys or keys, **val_kw))
+                                      keys=val_keys or keys, **val_kw,
+                                      **hard_kw))
     if cfg.synthetic:
         mk = lambda n, k: SyntheticFaceDataset(  # noqa: E731
             n, cfg.size, keys=k, seed=cfg.seed)

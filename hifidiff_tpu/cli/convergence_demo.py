@@ -51,6 +51,14 @@ class Config:
     seed: int = 0
     check: bool = True          # assert convergence criteria
     name: str = "convdemo"
+    # hard-identity family (VERDICT r3 #4): spread < 1 packs identities
+    # toward the family mean and light_jitter adds per-sample input
+    # illumination, so stage 2's triplet loss starts > 0 and held-out
+    # verification accuracy climbs from the random-init baseline instead
+    # of being satisfied at init. Defaults keep the legacy family so the
+    # committed r2/r3 artifacts remain reproducible.
+    proc_id_spread: float = 1.0
+    proc_light_jitter: float = 0.0
     vae_blocks: str = "32,32"   # VAE block widths; len L => factor 2^(L-1).
     # "32,32" (factor 2) keeps the 32px demo at the reference's 16x16
     # latent; "32,32,32,32" (factor 8) at --size 128 reproduces the
@@ -89,9 +97,11 @@ def main(argv=None) -> dict:
     latent_flags = ["--vae-blocks", cfg.vae_blocks,
                     "--vae-layers", str(cfg.vae_layers)]
     unet_flags = ["--width", "32", "--enc-depths", "1,1", "--mid-depth", "1"]
+    hard_flags = ["--proc-id-spread", str(cfg.proc_id_spread),
+                  "--proc-light-jitter", str(cfg.proc_light_jitter)]
     common = ["--procedural", str(cfg.n), "--size", str(cfg.size),
               "--batch-size", str(cfg.batch_size), "--seed", str(cfg.seed),
-              "--name", cfg.name, "--log-dir", cfg.log_dir]
+              "--name", cfg.name, "--log-dir", cfg.log_dir] + hard_flags
 
     summary = {}
     offsets = {}
@@ -140,9 +150,20 @@ def main(argv=None) -> dict:
           f"val {vl[0]:.4f} -> {vl[-1]:.4f}", flush=True)
 
     # ---- stage 2: IDC --------------------------------------------------
-    from hifidiff_tpu.cli import pretrain_idc
+    from hifidiff_tpu.cli import pretrain_idc, test_idc
 
     print("=== stage 2: pretrain_idc ===", flush=True)
+    idc_eval_flags = [
+        "--procedural", str(cfg.n), "--size", str(cfg.size),
+        "--batch-size", str(cfg.batch_size), "--seed", str(cfg.seed),
+        "--cr-ckpt", ck("cr/" + cfg.name), "--cr-width", "32",
+        "--cr-enc-depths", "1,1", "--cr-mid-depth", "1",
+        "--idc-stages", "1,1,1,1"] + hard_flags
+    # random-init baseline FIRST: on the hard family (id_spread < 1) the
+    # held-out verification accuracy must CLIMB from this to the trained
+    # number (VERDICT r3 #4 — an accuracy that is 1.0 at init proves
+    # nothing); on the legacy family it documents the same vacuousness
+    acc_rand = test_idc.main(idc_eval_flags)
     prime("hifi_idc")
     pretrain_idc.main(common + [
         "--num-epochs", str(cfg.epochs_idc), "--cr-ckpt", ck("cr/" + cfg.name),
@@ -151,22 +172,21 @@ def main(argv=None) -> dict:
         "--save-epoch", "5"])
     rows = harvest("hifi_idc")
     tl = _series(rows, "train_loss")
-    summary["idc"] = {"train_loss_first": tl[0], "train_loss_final": tl[-1]}
+    vl = _series(rows, "val_loss")
+    summary["idc"] = {"train_loss_first": tl[0], "train_loss_final": tl[-1],
+                      "val_loss_first": vl[0], "val_loss_final": vl[-1]}
     print(f"[idc] train {tl[0]:.4f} -> {tl[-1]:.4f}", flush=True)
 
     # identity-verification accuracy on held-out poses (the reference's
-    # `test_idc.py` end metric; measured: random-init ~0.5/0.62 batch/
-    # sample, trained 1.0/1.0 with cos-sim 0.82 vs 0.25)
-    from hifidiff_tpu.cli import test_idc
-
-    acc = test_idc.main([
-        "--procedural", str(cfg.n), "--size", str(cfg.size),
-        "--batch-size", str(cfg.batch_size), "--seed", str(cfg.seed),
-        "--cr-ckpt", ck("cr/" + cfg.name), "--cr-width", "32",
-        "--cr-enc-depths", "1,1", "--cr-mid-depth", "1",
-        "--idc-ckpt", ck("idc/" + cfg.name), "--idc-stages", "1,1,1,1"])
+    # `test_idc.py` end metric)
+    acc = test_idc.main(idc_eval_flags +
+                        ["--idc-ckpt", ck("idc/" + cfg.name)])
     summary["idc"].update(acc)
-    print(f"[idc] verification accuracy {acc['sample_accuracy']:.3f}",
+    summary["idc"]["sample_accuracy_random_init"] = \
+        acc_rand["sample_accuracy"]
+    summary["idc"]["hard_family"] = cfg.proc_id_spread < 1.0
+    print(f"[idc] verification accuracy {acc['sample_accuracy']:.3f} "
+          f"(random-init baseline {acc_rand['sample_accuracy']:.3f})",
           flush=True)
 
     # ---- stage 3: denoiser --------------------------------------------
@@ -225,7 +245,8 @@ def main(argv=None) -> dict:
     print("=== stage 5: test_refiner random vs trained ===", flush=True)
     eval_flags = ["--procedural", str(cfg.n), "--size", str(cfg.size),
                   "--batch-size", str(cfg.batch_size),
-                  "--seed", str(cfg.seed)] + latent_flags + unet_flags + [
+                  "--seed", str(cfg.seed)] + hard_flags + latent_flags + \
+        unet_flags + [
         "--dec-depths", "1,1", "--idc-stages", "1,1,1,1",
         "--cr-width", "32", "--cr-enc-depths", "1,1", "--cr-mid-depth", "1",
         "--grid-every", "0"]
@@ -266,15 +287,34 @@ def check_summary(s: dict) -> None:
         "CR train loss did not drop 3x"
     assert s["cr"]["val_loss_final"] < s["cr"]["val_loss_first"], \
         "CR val loss did not improve (no generalization)"
-    # triplet loss saturates at exactly 0 once every margin is satisfied;
-    # on strong CR stacks (e.g. the n=192 scaled run) the FIRST logged
-    # step is already 0, so "dropped" OR "saturated at ~0" both count —
-    # the end metric is the held-out verification accuracy below.
-    assert (s["idc"]["train_loss_final"] < s["idc"]["train_loss_first"]
-            or s["idc"]["train_loss_final"] < 1e-3), \
-        "IDC triplet loss neither dropped nor saturated at zero"
-    assert s["idc"]["sample_accuracy"] > 0.9, \
-        "trained IDC does not verify identity on held-out poses"
+    if s["idc"].get("hard_family"):
+        # hard-identity family (VERDICT r3 #4): the triplet margin must
+        # NOT be satisfied at init — the loss starts materially above
+        # zero, falls, and held-out verification accuracy climbs from the
+        # random-init baseline. This is the non-vacuous stage-2 proof
+        # (the reference's stage 2 exists because the task is hard on
+        # real faces, `pretrain_idc.py:27-28,119`).
+        assert s["idc"]["train_loss_first"] > 0.05, \
+            "hard family: IDC triplet loss already ~0 at init (vacuous)"
+        assert (s["idc"]["train_loss_final"]
+                < s["idc"]["train_loss_first"] / 2), \
+            "hard family: IDC triplet loss did not drop 2x"
+        assert (s["idc"]["sample_accuracy"]
+                > s["idc"]["sample_accuracy_random_init"] + 0.1), \
+            "hard family: trained IDC accuracy did not climb over random"
+        assert s["idc"]["sample_accuracy"] > 0.85, \
+            "hard family: trained IDC accuracy too low"
+    else:
+        # legacy wide family: triplet loss saturates at exactly 0 once
+        # every margin is satisfied; on strong CR stacks (e.g. the n=192
+        # scaled run) the FIRST logged step is already 0, so "dropped" OR
+        # "saturated at ~0" both count — the end metric is the held-out
+        # verification accuracy below.
+        assert (s["idc"]["train_loss_final"] < s["idc"]["train_loss_first"]
+                or s["idc"]["train_loss_final"] < 1e-3), \
+            "IDC triplet loss neither dropped nor saturated at zero"
+        assert s["idc"]["sample_accuracy"] > 0.9, \
+            "trained IDC does not verify identity on held-out poses"
     assert (s["denoiser"]["train_loss_final"]
             < s["denoiser"]["train_loss_first"]), \
         "denoiser loss did not drop"

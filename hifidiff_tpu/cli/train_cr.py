@@ -70,6 +70,8 @@ class Config:
     seed: int = 0
     synthetic: int = 0          # >0: use N synthetic samples (smoke mode)
     procedural: int = 0         # >0: N learnable procedural faces (demo)
+    proc_id_spread: float = 1.0   # <1: hard-identity family (data/procedural.py)
+    proc_light_jitter: float = 0.0  # >0: per-sample input lighting nuisance
     save_epoch: int = 5
     dump_every: int = 100
     out_dir: str = "output/cr"

@@ -83,6 +83,8 @@ class Config:
     seed: int = 0
     synthetic: int = 0
     procedural: int = 0
+    proc_id_spread: float = 1.0   # <1: hard-identity family (data/procedural.py)
+    proc_light_jitter: float = 0.0  # >0: per-sample input lighting nuisance
     save_model_epoch: int = 10
     save_image_epoch: int = 10
     out_dir: str = "output/tae"

@@ -43,24 +43,41 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 
-def _identity_params(seed: int, ident: int) -> Dict[str, np.ndarray]:
+def _identity_params(seed: int, ident: int,
+                     spread: float = 1.0) -> Dict[str, np.ndarray]:
+    """Identity-specific render parameters. `spread` scales how far each
+    identity sits from the family MEAN: 1.0 is the legacy wide family
+    (bit-identical to pre-r4 renders — the raw rng stream is consumed in
+    the same order and returned untouched); small values pack identities
+    tightly so they cannot be told apart by raw color statistics — the
+    hard tier for IDC metric learning (VERDICT r3 #4: at spread 1.0 the
+    triplet margin is satisfied at random init and stage 2 learns
+    nothing)."""
     rng = np.random.default_rng((seed, 7919, ident))
+
+    def u(lo, hi, n=None):
+        raw = rng.uniform(lo, hi, n)
+        if spread == 1.0:
+            return raw
+        mid = 0.5 * (lo + hi)
+        return mid + spread * (raw - mid)
+
     return {
-        "bg": rng.uniform(0.05, 0.35, 3),
-        "skin": rng.uniform(0.45, 0.9, 3),
-        "eye": rng.uniform(0.0, 0.45, 3),
-        "mouth": np.array([rng.uniform(0.5, 0.9), rng.uniform(0.05, 0.3),
-                           rng.uniform(0.05, 0.3)]),
-        "nose": rng.uniform(0.3, 0.7, 3),
-        "eye_dx": rng.uniform(0.16, 0.26),
-        "eye_y": rng.uniform(0.36, 0.46),
-        "eye_r": rng.uniform(0.05, 0.08),
-        "nose_len": rng.uniform(0.1, 0.16),
-        "mouth_y": rng.uniform(0.66, 0.76),
-        "mouth_w": rng.uniform(0.12, 0.2),
-        "mouth_h": rng.uniform(0.035, 0.06),
-        "face_rx": rng.uniform(0.3, 0.38),
-        "face_ry": rng.uniform(0.38, 0.46),
+        "bg": u(0.05, 0.35, 3),
+        "skin": u(0.45, 0.9, 3),
+        "eye": u(0.0, 0.45, 3),
+        "mouth": np.array([u(0.5, 0.9), u(0.05, 0.3),
+                           u(0.05, 0.3)]),
+        "nose": u(0.3, 0.7, 3),
+        "eye_dx": u(0.16, 0.26),
+        "eye_y": u(0.36, 0.46),
+        "eye_r": u(0.05, 0.08),
+        "nose_len": u(0.1, 0.16),
+        "mouth_y": u(0.66, 0.76),
+        "mouth_w": u(0.12, 0.2),
+        "mouth_h": u(0.035, 0.06),
+        "face_rx": u(0.3, 0.38),
+        "face_ry": u(0.38, 0.46),
     }
 
 
@@ -150,7 +167,8 @@ class ProceduralFaceDataset(Dataset):
     def __init__(self, n: int = 64, size: int = 32,
                  keys: Sequence[str] = ("lr", "gt", "patches"),
                  num_ids: int = 8, seed: int = 0, lr_factor: int = 4,
-                 start: int = 0):
+                 start: int = 0, id_spread: float = 1.0,
+                 light_jitter: float = 0.0):
         self.n = n
         self.size = size
         self.keys = tuple(keys)
@@ -160,6 +178,15 @@ class ProceduralFaceDataset(Dataset):
         # index offset: a val split with the SAME identities but disjoint,
         # never-trained poses is ProceduralFaceDataset(..., start=10_000)
         self.start = start
+        # hard-identity knobs (VERDICT r3 #4): id_spread < 1 packs the
+        # identities toward the family mean (see _identity_params);
+        # light_jitter > 0 applies a per-SAMPLE random RGB gain to the
+        # posed INPUT render only (gt/other/image stay canonical) —
+        # mimicking the reference's K-Face lighting conditions
+        # (`dataset_kface.py:56` L1/L3) and defeating raw-color identity
+        # shortcuts. Defaults preserve the legacy family bit-exactly.
+        self.id_spread = id_spread
+        self.light_jitter = light_jitter
 
     def __len__(self) -> int:
         return self.n
@@ -167,7 +194,7 @@ class ProceduralFaceDataset(Dataset):
     def __getitem__(self, index: int) -> Sample:
         index = index + self.start
         ident = index % self.num_ids
-        idp = _identity_params(self.seed, ident)
+        idp = _identity_params(self.seed, ident, self.id_spread)
         rng = np.random.default_rng((self.seed, 104729, index))
         pose = float(rng.uniform(-0.8, 0.8))
 
@@ -181,6 +208,13 @@ class ProceduralFaceDataset(Dataset):
             out["image"] = gt
         if "lr" in self.keys:
             posed = render_face(idp, pose, self.size)
+            if self.light_jitter > 0.0:
+                # per-sample illumination nuisance on the INPUT only (the
+                # rng draw happens only when enabled, so the legacy
+                # rng stream — pose then `other` — is untouched at 0.0)
+                gain = 1.0 + rng.uniform(-self.light_jitter,
+                                         self.light_jitter, 3)
+                posed = np.clip(posed * gain, 0.0, 1.0).astype(np.float32)
             out["lr"] = degrade_lr(posed, self.size, self.lr_factor)
         if "patches" in self.keys:
             patches = np.zeros((4, self.size, self.size, 3), np.float32)
@@ -191,6 +225,7 @@ class ProceduralFaceDataset(Dataset):
         if "other" in self.keys:
             other = (ident + 1 + int(rng.integers(0, self.num_ids - 1))) \
                 % self.num_ids
-            out["other"] = render_face(_identity_params(self.seed, other),
-                                       0.0, self.size)
+            out["other"] = render_face(
+                _identity_params(self.seed, other, self.id_spread),
+                0.0, self.size)
         return out
