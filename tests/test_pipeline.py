@@ -57,6 +57,33 @@ class TestRefinerSampler:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
         assert float(a.min()) >= 0.0 and float(a.max()) <= 1.0
 
+    def test_warm_compile_matches_lazy(self):
+        """warm_compile AOT-compiles the three stage programs (optionally
+        from ShapeDtypeStruct avals, the bench's overlapped cold-start
+        path) and pins the executables; outputs must be bit-identical to
+        the lazily jit-compiled path."""
+        refiner, cr, vae, variables, cfg, res = tiny_stack()
+        schedule = DiffusionSchedule.create()
+        key = jax.random.PRNGKey(7)
+        lr = jax.random.uniform(jax.random.PRNGKey(1), (2, res, res, 3))
+
+        lazy = build_refiner_sampler_split(refiner, cr, vae, schedule, cfg)
+        ref_out = np.asarray(lazy(variables, lr, key))
+
+        warm = build_refiner_sampler_split(refiner, cr, vae, schedule, cfg)
+        compiled = warm.warm_compile(variables, lr, key)
+        assert set(compiled) == {"prep", "scan", "decode"}
+        np.testing.assert_array_equal(
+            np.asarray(warm(variables, lr, key)), ref_out)
+
+        aval = build_refiner_sampler_split(refiner, cr, vae, schedule, cfg)
+        avals = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), variables)
+        aval.warm_compile(avals, jax.ShapeDtypeStruct(lr.shape, lr.dtype),
+                          key, parallel=False)
+        np.testing.assert_array_equal(
+            np.asarray(aval(variables, lr, key)), ref_out)
+
     def test_hoisted_invariants_match_naive(self):
         """FiLM/IDC/HCA-gate hoisting (mode="precompute") is pure code
         motion: sampling with hoist_invariants=True must match the naive
