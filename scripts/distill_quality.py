@@ -50,6 +50,8 @@ class Config:
     name: str = "convdemo"
     size: int = 32
     procedural: int = 64
+    proc_id_spread: float = 1.0   # match the stack's training family
+    proc_light_jitter: float = 0.0  # (hard tier: 0.6 / 0.25)
     batch_size: int = 16
     eval_batch: int = 16
     seed: int = 0
@@ -72,6 +74,8 @@ def main(argv=None) -> dict:
 
     ck = lambda s: os.path.join(cfg.ckpt_root, s, cfg.name)  # noqa: E731
     results = distill.main([
+        "--proc-id-spread", str(cfg.proc_id_spread),
+        "--proc-light-jitter", str(cfg.proc_light_jitter),
         "--procedural", str(cfg.procedural), "--size", str(cfg.size),
         "--batch-size", str(cfg.batch_size),
         "--eval-batch", str(cfg.eval_batch), "--seed", str(cfg.seed),

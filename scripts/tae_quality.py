@@ -43,6 +43,8 @@ class Config:
     name: str = "convdemo"
     size: int = 32
     procedural: int = 64
+    proc_id_spread: float = 1.0   # match the stack's training family
+    proc_light_jitter: float = 0.0  # (hard tier: 0.6 / 0.25)
     batch_size: int = 8
     seed: int = 0
     tae_epochs: int = 120
@@ -123,7 +125,9 @@ def main(argv=None) -> dict:
 
     ck = lambda s: os.path.join(cfg.ckpt_root, s, cfg.name)  # noqa: E731
     tae_ckpt = os.path.join(cfg.tae_ckpt_dir, cfg.name)
-    common = ["--procedural", str(cfg.procedural), "--size", str(cfg.size),
+    common = ["--proc-id-spread", str(cfg.proc_id_spread),
+              "--proc-light-jitter", str(cfg.proc_light_jitter),
+              "--procedural", str(cfg.procedural), "--size", str(cfg.size),
               "--batch-size", str(cfg.batch_size), "--seed", str(cfg.seed),
               "--vae-blocks", cfg.vae_blocks, "--vae-layers", "1"]
 

@@ -44,6 +44,8 @@ class Config:
     name: str = "convdemo"
     size: int = 32
     procedural: int = 64
+    proc_id_spread: float = 1.0   # match the stack's training family
+    proc_light_jitter: float = 0.0  # (hard tier: 0.6 / 0.25)
     batch_size: int = 8
     seed: int = 0
     # (student_steps, ckpt subdir) pairs produced by distill_quality.py
@@ -62,7 +64,9 @@ def main(argv=None) -> dict:
     from hifidiff_tpu.cli import test_refiner
 
     ck = lambda s: os.path.join(cfg.ckpt_root, s, cfg.name)  # noqa: E731
-    base = ["--procedural", str(cfg.procedural), "--size", str(cfg.size),
+    base = ["--proc-id-spread", str(cfg.proc_id_spread),
+            "--proc-light-jitter", str(cfg.proc_light_jitter),
+            "--procedural", str(cfg.procedural), "--size", str(cfg.size),
             "--batch-size", str(cfg.batch_size), "--seed", str(cfg.seed),
             "--vae-blocks", "32,32", "--vae-layers", "1",
             "--width", "32", "--enc-depths", "1,1", "--mid-depth", "1",
