@@ -1,0 +1,143 @@
+"""Non-vacuous stage-2 (IDC) convergence artifact (VERDICT r3 #4).
+
+The legacy procedural family satisfies the triplet margin at
+initialization through a trained CR (loss 0.0 at the first step,
+verification accuracy 1.0 by construction), so the IDC stage of the
+committed convergence runs proved nothing. This script runs the real
+stage-1 + stage-2 CLIs on the HARD identity family
+(`data/procedural.py`: id_spread packs identities toward the family
+mean, light_jitter adds per-sample input illumination) and records the
+evidence the reference's stage 2 exists for (`pretrain_idc.py:27-28,119`):
+
+  * triplet train loss starts materially above zero and falls,
+  * val triplet loss falls (no metric-collapse overfit),
+  * held-out-pose verification accuracy CLIMBS from the random-init
+    baseline instead of starting at 1.0.
+
+Writes IDC_HARD.json. Hardness must scale with resolution: the r4 grid
+measured that (spread 0.6, jitter 0.25) is hard at 32 px (random acc
+0.77) but VACUOUS at 64 px (random acc 1.0 — the 4x-larger input
+retains identity geometry a random ResNet already separates); overly
+hard settings (spread <= 0.35, or 8-identity pools) overfit CR
+artifacts instead (trained accuracy at or below random, val loss
+rising). Defaults are the measured 32 px sweet spot.
+
+    python scripts/idc_hard_demo.py            # ~15 min on one chip
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hifidiff_tpu.cli.common import parse_config  # noqa: E402
+
+
+@dataclasses.dataclass
+class Config:
+    out: str = "IDC_HARD.json"
+    run_dir: str = "runs/idc_hard"
+    n: int = 256
+    size: int = 32
+    batch_size: int = 16
+    epochs_cr: int = 10
+    epochs_idc: int = 12
+    seed: int = 0
+    proc_id_spread: float = 0.6
+    proc_light_jitter: float = 0.25
+    name: str = "idchard"
+    platform: str = ""          # "cpu" to run without the TPU
+    check: bool = True
+
+
+def main(argv=None) -> dict:
+    cfg = parse_config(Config, argv, "Hard-family IDC convergence artifact")
+    if cfg.platform:
+        import jax
+
+        jax.config.update("jax_platforms", cfg.platform)
+
+    from hifidiff_tpu.cli import pretrain_idc, test_idc, train_cr
+
+    hard = ["--proc-id-spread", str(cfg.proc_id_spread),
+            "--proc-light-jitter", str(cfg.proc_light_jitter)]
+    common = ["--procedural", str(cfg.n), "--size", str(cfg.size),
+              "--batch-size", str(cfg.batch_size), "--seed", str(cfg.seed),
+              "--name", cfg.name, "--log-dir",
+              os.path.join(cfg.run_dir, "logs")] + hard
+    arch = ["--cr-width", "32", "--cr-enc-depths", "1,1",
+            "--cr-mid-depth", "1", "--idc-stages", "1,1,1,1"]
+    cr_ck = os.path.join(cfg.run_dir, "ckpt", "cr")
+    idc_ck = os.path.join(cfg.run_dir, "ckpt", "idc")
+
+    print("=== stage 1: train_cr (hard family) ===", flush=True)
+    train_cr.main(common + [
+        "--width", "32", "--enc-depths", "1,1", "--mid-depth", "1",
+        "--num-epochs", str(cfg.epochs_cr), "--ckpt-dir", cr_ck,
+        "--out-dir", os.path.join(cfg.run_dir, "img"),
+        "--dump-every", "0", "--save-epoch", str(cfg.epochs_cr // 2)])
+
+    eval_flags = common[:8] + hard + arch + [
+        "--cr-ckpt", os.path.join(cr_ck, cfg.name)]
+    print("=== random-init IDC baseline ===", flush=True)
+    acc_rand = test_idc.main(eval_flags)
+
+    print("=== stage 2: pretrain_idc (hard family) ===", flush=True)
+    pretrain_idc.main(common + arch + [
+        "--num-epochs", str(cfg.epochs_idc),
+        "--cr-ckpt", os.path.join(cr_ck, cfg.name),
+        "--ckpt-dir", idc_ck, "--save-epoch", "5"])
+    acc = test_idc.main(eval_flags +
+                        ["--idc-ckpt", os.path.join(idc_ck, cfg.name)])
+
+    rows = [json.loads(ln) for ln in open(os.path.join(
+        cfg.run_dir, "logs", f"hifi_idc.{cfg.name}.jsonl")) if ln.strip()]
+    tl = [r["train_loss"] for r in rows if "train_loss" in r]
+    vl = [r["val_loss"] for r in rows if "val_loss" in r]
+    result = {
+        "description": (
+            "Stage-2 IDC convergence on the HARD procedural identity "
+            "family (VERDICT r3 #4): triplet loss starts > 0 through a "
+            "trained CR, falls, and held-out-pose verification accuracy "
+            "climbs from the random-init baseline. Hardness is "
+            "resolution-dependent: these knobs are hard at 32 px but "
+            "vacuous at 64 px (random accuracy already 1.0 there)."),
+        "config": {"n": cfg.n, "size": cfg.size,
+                   "num_ids": max(8, cfg.n // 16),
+                   "id_spread": cfg.proc_id_spread,
+                   "light_jitter": cfg.proc_light_jitter,
+                   "epochs_cr": cfg.epochs_cr,
+                   "epochs_idc": cfg.epochs_idc},
+        "idc": {
+            "train_loss_first": tl[0], "train_loss_final": tl[-1],
+            "val_loss_first": vl[0], "val_loss_final": vl[-1],
+            "sample_accuracy_random_init": acc_rand["sample_accuracy"],
+            "sample_accuracy_trained": acc["sample_accuracy"],
+            "batch_accuracy_trained": acc["batch_accuracy"],
+        },
+    }
+    with open(cfg.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result["idc"]), flush=True)
+
+    if cfg.check:
+        i = result["idc"]
+        assert i["train_loss_first"] > 0.05, "loss vacuously zero at init"
+        assert i["train_loss_final"] < i["train_loss_first"] / 2, \
+            "triplet loss did not halve"
+        assert i["val_loss_final"] < i["val_loss_first"], \
+            "val triplet loss did not improve"
+        assert (i["sample_accuracy_trained"]
+                > i["sample_accuracy_random_init"] + 0.1), \
+            "accuracy did not climb over the random-init baseline"
+        assert i["sample_accuracy_trained"] > 0.85, "trained accuracy low"
+        print("IDC HARD-FAMILY CHECKS PASSED", flush=True)
+    return result
+
+
+if __name__ == "__main__":
+    main()
