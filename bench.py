@@ -57,6 +57,15 @@ def main() -> None:
                    help="measurement windows; the MEDIAN is reported, with "
                         "the per-window list and spread in the JSON "
                         "(tunnel throughput drifts ~20%% between windows)")
+    p.add_argument("--warm-windows", type=int, default=1,
+                   help="full-size windows run and DISCARDED before the "
+                        "measured ones (reported separately as "
+                        "warm_windows in the JSON). The first post-compile "
+                        "window consistently reads low — residual "
+                        "server-side compile work drains into its "
+                        "dispatches (r4: 258.4 vs 296.6/297.4) — so "
+                        "including it makes spread_pct measure warm-up "
+                        "rather than tunnel drift (VERDICT r4 #7)")
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--cast-params", type=int, default=1,
                    help="store params in bf16 (halves per-step HBM param "
@@ -517,6 +526,22 @@ def main() -> None:
             out = run(variables, lr_images, jax.random.fold_in(key, -1 - i))
         sync(out)
 
+    # discarded warm windows (VERDICT r4 #7): absorb residual server-side
+    # compile drain so the measured windows' spread reflects tunnel drift,
+    # not warm-up. Keys come from a disjoint negative fold domain (below
+    # the stage-times re-warm's -1/-2) so they never collide with the
+    # measured keys at any --windows/--iters.
+    warm_fps = []
+    for w in range(args.warm_windows):
+        t0 = time.time()
+        for i in range(args.iters):
+            out = run(variables, lr_images,
+                      jax.random.fold_in(key, -100 - (w * args.iters + i)))
+        sync(out)
+        fps = args.batch * args.iters / (time.time() - t0)
+        warm_fps.append(fps)
+        log(f"warm window {w}: {fps:.2f} faces/s (discarded)")
+
     # multiple measurement windows. The MEDIAN window is the number of
     # record (VERDICT r2 item 9: best-of-N over a ~20%-drifting tunnel
     # systematically flatters); per-window throughputs + spread are also
@@ -566,6 +591,11 @@ def main() -> None:
         "windows": [round(f, 1) for f in window_fps],
         "spread_pct": round(spread_pct, 1),
     }
+    if warm_fps:
+        # discarded pre-measurement windows (see --warm-windows): kept in
+        # the artifact so the warm-up cost stays visible without
+        # polluting the spread statistic
+        result["warm_windows"] = [round(f, 1) for f in warm_fps]
     if stage_ms:
         result["stage_ms"] = stage_ms
     # MFU is only honest when flops_per_face reflects the FLOPs actually

@@ -100,10 +100,13 @@ def smoke_datasets(cfg, keys, val_keys=None):
         # VAE/denoiser); triplet/restoration stages keep the default-8
         # identity space (each id seen 8x per 64 samples — a denser space
         # whose triplets are NOT trivially margin-satisfied at init)
-        # hard-identity knobs (VERDICT r3 #4); absent fields = legacy family
+        # hard-identity knobs (VERDICT r3 #4) + detail-family knobs
+        # (VERDICT r4 #1/#2); absent fields = legacy family
         hard_kw = dict(
             id_spread=getattr(cfg, "proc_id_spread", 1.0),
-            light_jitter=getattr(cfg, "proc_light_jitter", 0.0))
+            light_jitter=getattr(cfg, "proc_light_jitter", 0.0),
+            detail=getattr(cfg, "proc_detail", 0.0),
+            clutter=getattr(cfg, "proc_clutter", 0))
         if pose_dependent:
             # legacy family: 8 fixed identities. Hard family (id_spread<1):
             # metric learning over 8 tightly-packed identities overfits CR
@@ -111,8 +114,8 @@ def smoke_datasets(cfg, keys, val_keys=None):
             # loss rising) — scale the identity count with the set size so
             # each id still gets ~16 poses and the embedding must rank a
             # real identity manifold
-            num_ids = (8 if hard_kw["id_spread"] >= 1.0
-                       else max(8, cfg.procedural // 16))
+            hard = hard_kw["id_spread"] < 1.0 or hard_kw["detail"] > 0.0
+            num_ids = max(8, cfg.procedural // 16) if hard else 8
         else:
             num_ids = max(8, cfg.procedural // 4)
         val_kw = (dict(seed=cfg.seed, start=10_000) if pose_dependent

@@ -59,6 +59,13 @@ class Config:
     # committed r2/r3 artifacts remain reproducible.
     proc_id_spread: float = 1.0
     proc_light_jitter: float = 0.0
+    # detail-family knobs (VERDICT r4 #1/#2): proc_detail paints the
+    # per-identity facial-mark pattern (fine detail the x4 degradation
+    # erases — resolution-scaled, so the family is hard AT the 128px
+    # reference geometry, not just at 32px); proc_clutter adds per-sample
+    # sharp background shapes shared between lr and gt
+    proc_detail: float = 0.0
+    proc_clutter: int = 0
     vae_blocks: str = "32,32"   # VAE block widths; len L => factor 2^(L-1).
     # "32,32" (factor 2) keeps the 32px demo at the reference's 16x16
     # latent; "32,32,32,32" (factor 8) at --size 128 reproduces the
@@ -98,7 +105,9 @@ def main(argv=None) -> dict:
                     "--vae-layers", str(cfg.vae_layers)]
     unet_flags = ["--width", "32", "--enc-depths", "1,1", "--mid-depth", "1"]
     hard_flags = ["--proc-id-spread", str(cfg.proc_id_spread),
-                  "--proc-light-jitter", str(cfg.proc_light_jitter)]
+                  "--proc-light-jitter", str(cfg.proc_light_jitter),
+                  "--proc-detail", str(cfg.proc_detail),
+                  "--proc-clutter", str(cfg.proc_clutter)]
     common = ["--procedural", str(cfg.n), "--size", str(cfg.size),
               "--batch-size", str(cfg.batch_size), "--seed", str(cfg.seed),
               "--name", cfg.name, "--log-dir", cfg.log_dir] + hard_flags
@@ -184,7 +193,13 @@ def main(argv=None) -> dict:
     summary["idc"].update(acc)
     summary["idc"]["sample_accuracy_random_init"] = \
         acc_rand["sample_accuracy"]
-    summary["idc"]["hard_family"] = cfg.proc_id_spread < 1.0
+    # any non-default hardness knob makes this a hard-family run: the
+    # stronger check_summary assertions apply whenever the measured
+    # random-init baseline is genuinely below ceiling (ADVICE r4)
+    summary["idc"]["hard_family"] = (cfg.proc_id_spread < 1.0
+                                     or cfg.proc_light_jitter > 0.0
+                                     or cfg.proc_detail > 0.0
+                                     or cfg.proc_clutter > 0)
     print(f"[idc] verification accuracy {acc['sample_accuracy']:.3f} "
           f"(random-init baseline {acc_rand['sample_accuracy']:.3f})",
           flush=True)

@@ -84,6 +84,8 @@ class Config:
     procedural: int = 0
     proc_id_spread: float = 1.0   # <1: hard-identity family (data/procedural.py)
     proc_light_jitter: float = 0.0  # >0: per-sample input lighting nuisance
+    proc_detail: float = 0.0    # >0: per-identity facial-mark detail
+    proc_clutter: int = 0       # >0: per-sample background shapes
     eval_batch: int = 16
     ckpt_dir: str = "checkpoints/distill"
     use_wandb: bool = False

@@ -80,6 +80,8 @@ class Config:
     procedural: int = 0
     proc_id_spread: float = 1.0   # <1: hard-identity family (data/procedural.py)
     proc_light_jitter: float = 0.0  # >0: per-sample input lighting nuisance
+    proc_detail: float = 0.0    # >0: per-identity facial-mark detail
+    proc_clutter: int = 0       # >0: per-sample background shapes
     save_model_epoch: int = 10
     save_image_epoch: int = 1
     out_dir: str = "output/denoiser"

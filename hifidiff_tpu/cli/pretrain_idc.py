@@ -56,6 +56,8 @@ class Config:
     procedural: int = 0
     proc_id_spread: float = 1.0   # <1: hard-identity family (data/procedural.py)
     proc_light_jitter: float = 0.0  # >0: per-sample input lighting nuisance
+    proc_detail: float = 0.0    # >0: per-identity facial-mark detail
+    proc_clutter: int = 0       # >0: per-sample background shapes
     save_epoch: int = 5
     ckpt_dir: str = "checkpoints/idc"
     use_wandb: bool = False
@@ -82,7 +84,9 @@ def main(argv=None) -> None:
 
     from hifidiff_tpu.cli.common import smoke_datasets
 
-    smoke = smoke_datasets(cfg, ("lr", "gt", "other"))
+    # "pos" = different-photo positive (procedural family; real datasets'
+    # gt already IS a separate photograph of the identity)
+    smoke = smoke_datasets(cfg, ("lr", "pos", "other"))
     if smoke is not None:
         train_ds, val_ds = smoke
     else:
@@ -130,7 +134,8 @@ def main(argv=None) -> None:
         v = {"params": params, "batch_stats": batch_stats}
         cr_face = cr.apply({"params": cr_params}, batch["lr"])
         a = idc.apply(v, cr_face, train=False)
-        p = idc.apply(v, batch["gt"], train=False)
+        p = idc.apply(v, batch["pos"] if "pos" in batch else batch["gt"],
+                      train=False)
         n = idc.apply(v, batch["other"], train=False)
         return triplet_margin_loss(a, p, n)
 

@@ -40,6 +40,8 @@ class Config:
     procedural: int = 0
     proc_id_spread: float = 1.0   # <1: hard-identity family (data/procedural.py)
     proc_light_jitter: float = 0.0  # >0: per-sample input lighting nuisance
+    proc_detail: float = 0.0    # >0: per-identity facial-mark detail
+    proc_clutter: int = 0       # >0: per-sample background shapes
 
 
 def main(argv=None) -> dict:
@@ -76,7 +78,9 @@ def main(argv=None) -> dict:
 
     from hifidiff_tpu.cli.common import smoke_datasets
 
-    smoke = smoke_datasets(cfg, ("lr", "gt", "other"))
+    # "pos" = different-photo positive (procedural family; real datasets'
+    # gt already IS a separate photograph of the identity)
+    smoke = smoke_datasets(cfg, ("lr", "pos", "other"))
     if smoke is not None:
         ds = smoke[1]   # held-out split (never-trained poses)
     else:
@@ -87,8 +91,9 @@ def main(argv=None) -> dict:
     def embeddings(batch):
         face = cr.apply({"params": cr_params}, batch["lr"])
         v = {"params": p, "batch_stats": s}
+        pos = batch["pos"] if "pos" in batch else batch["gt"]
         return (idc.apply(v, face, train=False),
-                idc.apply(v, batch["gt"], train=False),
+                idc.apply(v, pos, train=False),
                 idc.apply(v, batch["other"], train=False))
 
     batch_correct, sample_correct, n_samples = 0, 0, 0

@@ -58,6 +58,8 @@ class Config:
     procedural: int = 0
     proc_id_spread: float = 1.0   # <1: hard-identity family (data/procedural.py)
     proc_light_jitter: float = 0.0  # >0: per-sample input lighting nuisance
+    proc_detail: float = 0.0    # >0: per-identity facial-mark detail
+    proc_clutter: int = 0       # >0: per-sample background shapes
     grid_every: int = 10
     out_dir: str = "output/test_refiner"
     niqe_model: str = ""        # .npz with mu/cov from eval.niqe.fit_niqe_model

@@ -1,4 +1,15 @@
-"""Tiny-denoiser width distillation CLI (beyond-reference fast scan).
+"""Tiny-denoiser width distillation CLI (EXPERIMENTAL — not a
+sanctioned operating point).
+
+Measured verdict (VERDICT r4 #4, TINY_DN_QUALITY.json on the
+discriminating 32px stack): at 10 steps the tiny-DN swap costs ~2 dB on
+top of the TAE (dpmpp10 17.26 vs tae_both 19.37; ddim10 15.78 vs 18.02)
+while buying ~nothing — the 10-step scan wall-clock is dominated by
+fixed per-step overheads, not denoiser width, and TURBO_BENCH's composed
+rows get their speed from tiny-CR/TAE. Until a distillation recipe
+recovers the gap, do NOT include tiny-DN in a recommended mode; the seam
+machinery below is kept because it is validated and the right substrate
+for future recipes (e.g. trajectory-distilled students).
 
 Distills the trained full-width FacialRefiner (stage 4, reference
 `train_refiner.py:128-299` / `models/refiner.py:10-38`) into a NARROWER
@@ -95,6 +106,8 @@ class Config:
     procedural: int = 0
     proc_id_spread: float = 1.0   # <1: hard-identity family (data/procedural.py)
     proc_light_jitter: float = 0.0  # >0: per-sample input lighting nuisance
+    proc_detail: float = 0.0    # >0: per-identity facial-mark detail
+    proc_clutter: int = 0       # >0: per-sample background shapes
     save_model_epoch: int = 10
     out_dir: str = "output/tiny_dn"
     ckpt_dir: str = "checkpoints/tiny_dn"

@@ -86,10 +86,54 @@ def _ellipse(grid_y, grid_x, cy, cx, ry, rx, sharp):
     return 1.0 / (1.0 + np.exp(np.clip((d - 1.0) * sharp, -30.0, 30.0)))
 
 
+def _identity_marks(seed: int, ident: int,
+                    n_spots: int = 14) -> Dict[str, np.ndarray]:
+    """Per-identity facial-mark ("freckle") pattern: spot positions in
+    face-relative polar coordinates, per-spot darkening gains and radii.
+    Drawn from an INDEPENDENT rng stream so enabling `detail` never
+    perturbs the legacy identity/pose/negative draws. The marks are the
+    fine, identity-deterministic detail the `detail` knob paints: at the
+    reference geometry (128 px) they are ~2-4 px spots that the x4
+    bicubic degradation erases, so restoring them requires the model to
+    learn the identity -> mark-pattern map — the analog of the real
+    facial detail HifiDiff hallucinates (VERDICT r4 #1/#2)."""
+    rng = np.random.default_rng((seed, 15013, ident))
+    return {
+        "ang": rng.uniform(0.0, 2.0 * np.pi, n_spots),
+        # sqrt for ~uniform areal density; keep off the exact center
+        "rad": np.sqrt(rng.uniform(0.06, 0.85, n_spots)),
+        "gain": rng.uniform(0.3, 0.55, n_spots),
+        "size": rng.uniform(0.016, 0.03, n_spots),
+    }
+
+
+def _clutter_shapes(seed: int, index: int, count: int):
+    """Per-SAMPLE background clutter: `count` colored ellipses behind the
+    face (positions/colors/radii from an independent per-index stream).
+    The same shapes appear in the posed input render and the frontal gt
+    (one scene, head turns), so the background is inferable from lr —
+    but its sharp edges are destroyed by the x4 degradation and must be
+    re-synthesized, giving the diffusion posterior real multi-scale
+    structure at the reference geometry."""
+    rng = np.random.default_rng((seed, 104731, index))
+    return {
+        "cy": rng.uniform(0.0, 1.0, count),
+        "cx": rng.uniform(0.0, 1.0, count),
+        "ry": rng.uniform(0.05, 0.16, count),
+        "rx": rng.uniform(0.05, 0.16, count),
+        "color": rng.uniform(0.0, 1.0, (count, 3)),
+    }
+
+
 def render_face(idp: Dict[str, np.ndarray], pose: float,
-                size: int) -> np.ndarray:
+                size: int, detail: float = 0.0,
+                marks: Dict[str, np.ndarray] = None,
+                clutter=None) -> np.ndarray:
     """Render one face (HWC float32 in [0,1]). pose=0 is frontal; |pose|<=1
-    shifts features laterally (yaw) and shrinks the far-side eye."""
+    shifts features laterally (yaw) and shrinks the far-side eye.
+    `detail` > 0 paints the per-identity `marks` spot pattern on the skin
+    (amplitude = detail); `clutter` paints background shapes behind the
+    face. Defaults reproduce the legacy render bit-exactly."""
     ys, xs = np.meshgrid(np.linspace(0, 1, size), np.linspace(0, 1, size),
                          indexing="ij")
     sharp = 8.0
@@ -100,9 +144,27 @@ def render_face(idp: Dict[str, np.ndarray], pose: float,
         nonlocal img
         img = img * (1.0 - alpha[..., None]) + alpha[..., None] * color
 
+    if clutter is not None:
+        for i in range(len(clutter["cy"])):
+            paint(_ellipse(ys, xs, clutter["cy"][i], clutter["cx"][i],
+                           clutter["ry"][i], clutter["rx"][i], sharp * 4),
+                  clutter["color"][i])
+    squeeze = 1.0 - 0.25 * abs(pose)
     paint(_ellipse(ys, xs, 0.52, 0.5 + shift,
-                   idp["face_ry"], idp["face_rx"] * (1 - 0.25 * abs(pose)),
+                   idp["face_ry"], idp["face_rx"] * squeeze,
                    sharp), idp["skin"])
+    if detail > 0.0 and marks is not None:
+        # spots ride the face: polar offsets scale with the (pose-
+        # squeezed) face radii and shift with yaw
+        spot_color = idp["skin"] * (1.0 - detail * marks["gain"][:, None])
+        for i in range(len(marks["ang"])):
+            cx = (0.5 + shift + marks["rad"][i] * np.cos(marks["ang"][i])
+                  * idp["face_rx"] * 0.82 * squeeze)
+            cy = (0.52 + marks["rad"][i] * np.sin(marks["ang"][i])
+                  * idp["face_ry"] * 0.82)
+            r = marks["size"][i]
+            paint(_ellipse(ys, xs, cy, cx, r, r * squeeze, sharp * 3),
+                  spot_color[i])
     # eyes: the eye on the side the face turns away from shrinks
     for side in (-1.0, 1.0):
         r = idp["eye_r"] * (1.0 - 0.35 * max(0.0, side * pose))
@@ -168,7 +230,13 @@ class ProceduralFaceDataset(Dataset):
                  keys: Sequence[str] = ("lr", "gt", "patches"),
                  num_ids: int = 8, seed: int = 0, lr_factor: int = 4,
                  start: int = 0, id_spread: float = 1.0,
-                 light_jitter: float = 0.0):
+                 light_jitter: float = 0.0, detail: float = 0.0,
+                 clutter: int = 0):
+        if not 0.0 < id_spread <= 1.0:
+            # u() would extrapolate outside the valid parameter ranges
+            # (colors leaving [0,1], geometry leaving the render's
+            # assumptions) — reject rather than render garbage (ADVICE r4)
+            raise ValueError(f"id_spread must be in (0, 1], got {id_spread}")
         self.n = n
         self.size = size
         self.keys = tuple(keys)
@@ -187,6 +255,17 @@ class ProceduralFaceDataset(Dataset):
         # shortcuts. Defaults preserve the legacy family bit-exactly.
         self.id_spread = id_spread
         self.light_jitter = light_jitter
+        # detail-family knobs (VERDICT r4 #1/#2): detail > 0 paints the
+        # per-identity facial-mark pattern (fine, identity-deterministic
+        # spots the x4 degradation erases — the model must learn the
+        # identity -> pattern map to restore them); clutter > 0 adds
+        # per-sample sharp background shapes shared between lr and gt
+        # (one scene). Both scale with resolution (face-relative units),
+        # making the family's entropy — and hence step-reduction cost and
+        # stage-2 hardness — real at the 128 px reference geometry
+        # instead of only at 32 px. Defaults keep the legacy family.
+        self.detail = detail
+        self.clutter = clutter
 
     def __len__(self) -> int:
         return self.n
@@ -197,23 +276,29 @@ class ProceduralFaceDataset(Dataset):
         idp = _identity_params(self.seed, ident, self.id_spread)
         rng = np.random.default_rng((self.seed, 104729, index))
         pose = float(rng.uniform(-0.8, 0.8))
+        marks = (_identity_marks(self.seed, ident)
+                 if self.detail > 0.0 else None)
+        scene = (_clutter_shapes(self.seed, index, self.clutter)
+                 if self.clutter > 0 else None)
+        render_kw = dict(detail=self.detail, marks=marks, clutter=scene)
 
         out: Sample = {}
         gt = None
         if {"gt", "patches", "image"} & set(self.keys):
-            gt = render_face(idp, 0.0, self.size)
+            gt = render_face(idp, 0.0, self.size, **render_kw)
         if "gt" in self.keys:
             out["gt"] = gt
         if "image" in self.keys:
             out["image"] = gt
         if "lr" in self.keys:
-            posed = render_face(idp, pose, self.size)
+            posed = render_face(idp, pose, self.size, **render_kw)
             if self.light_jitter > 0.0:
-                # per-sample illumination nuisance on the INPUT only (the
-                # rng draw happens only when enabled, so the legacy
-                # rng stream — pose then `other` — is untouched at 0.0)
-                gain = 1.0 + rng.uniform(-self.light_jitter,
-                                         self.light_jitter, 3)
+                # per-sample illumination nuisance on the INPUT only,
+                # from an independent stream so enabling the knob leaves
+                # the legacy pose/negative draws untouched (ADVICE r4)
+                jrng = np.random.default_rng((self.seed, 104730, index))
+                gain = 1.0 + jrng.uniform(-self.light_jitter,
+                                          self.light_jitter, 3)
                 posed = np.clip(posed * gain, 0.0, 1.0).astype(np.float32)
             out["lr"] = degrade_lr(posed, self.size, self.lr_factor)
         if "patches" in self.keys:
@@ -222,10 +307,48 @@ class ProceduralFaceDataset(Dataset):
                                                               self.size)):
                 patches[p, t:b, le:r] = gt[t:b, le:r]
             out["patches"] = patches
+        if "pos" in self.keys:
+            # triplet POSITIVE as a DIFFERENT PHOTO of the same identity:
+            # same canonical frontal + marks, but its own background scene
+            # (the reference's positive is a separate frontal photograph,
+            # `dataset_kface.py:184-246` — not the restoration target).
+            # With clutter=0 this is bit-identical to gt, so the legacy
+            # family is unchanged; with clutter>0 it removes the
+            # shared-scene shortcut that would otherwise let a random
+            # encoder rank the triplet by background alone.
+            pos = render_face(
+                idp, 0.0, self.size, detail=self.detail, marks=marks,
+                clutter=(_clutter_shapes(self.seed, index + 2_000_003,
+                                         self.clutter)
+                         if self.clutter > 0 else None))
+            if self.light_jitter > 0.0:
+                # a different photo also has its own illumination
+                # (independent stream; the K-Face positives span the
+                # L1/L3 lighting conditions, `dataset_kface.py:56`)
+                prng = np.random.default_rng((self.seed, 104733, index))
+                gain = 1.0 + prng.uniform(-self.light_jitter,
+                                          self.light_jitter, 3)
+                pos = np.clip(pos * gain, 0.0, 1.0).astype(np.float32)
+            out["pos"] = pos
         if "other" in self.keys:
             other = (ident + 1 + int(rng.integers(0, self.num_ids - 1))) \
                 % self.num_ids
-            out["other"] = render_face(
+            neg = render_face(
                 _identity_params(self.seed, other, self.id_spread),
-                0.0, self.size)
+                0.0, self.size, detail=self.detail,
+                marks=(_identity_marks(self.seed, other)
+                       if self.detail > 0.0 else None),
+                # the negative is a DIFFERENT photo: its own background
+                clutter=(_clutter_shapes(self.seed, index + 1_000_003,
+                                         self.clutter)
+                         if self.clutter > 0 else None))
+            if self.light_jitter > 0.0:
+                # ... and its own illumination (independent stream;
+                # symmetric with "pos" so ranking cannot key on which
+                # side carries the lighting nuisance)
+                nrng = np.random.default_rng((self.seed, 104734, index))
+                gain = 1.0 + nrng.uniform(-self.light_jitter,
+                                          self.light_jitter, 3)
+                neg = np.clip(neg * gain, 0.0, 1.0).astype(np.float32)
+            out["other"] = neg
         return out

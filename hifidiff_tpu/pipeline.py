@@ -318,17 +318,28 @@ def build_refiner_sampler_split(
                 else variables["cr"])
         return rvars, enc_p, dec_p, cr_p
 
-    # warm_compile() drops AOT executables in here; sample() prefers them.
-    # The three stage jits are otherwise compiled lazily on first call.
+    # warm_compile() drops AOT executables in here, keyed by the input-
+    # image aval (shape, dtype) they were lowered for — an AOT executable
+    # is pinned to its avals, so a call with a batch size/dtype that was
+    # never warmed falls back to the lazy stage jits (which re-trace)
+    # instead of raising from the executable (ADVICE r4). Multiple warmed
+    # avals coexist: a bucketed server warms every launch size up front
+    # (VERDICT r4 #5).
     _compiled: dict = {}
+
+    def _aval(x):
+        # works for concrete arrays AND ShapeDtypeStructs (bench warms
+        # with abstract avals concurrently with the init programs)
+        return (tuple(x.shape), jnp.dtype(x.dtype))
 
     def sample(variables: dict, lr_images: jax.Array, key: jax.Array):
         rvars, enc_p, dec_p, cr_p = _split_vars(variables)
-        latents, priors, id_emb = _compiled.get("prep", stage_prep)(
+        warmed = _compiled.get(_aval(lr_images), {})
+        latents, priors, id_emb = warmed.get("prep", stage_prep)(
             cr_p, enc_p, rvars, lr_images, key)
-        final = _compiled.get("scan", stage_scan)(
+        final = warmed.get("scan", stage_scan)(
             rvars, latents, priors, id_emb)
-        return _compiled.get("decode", stage_decode)(dec_p, final)
+        return warmed.get("decode", stage_decode)(dec_p, final)
 
     def warm_compile(variables: dict, lr_images, key, parallel: bool = True):
         """AOT-compile the three stage programs CONCURRENTLY and pin the
@@ -354,15 +365,17 @@ def build_refiner_sampler_split(
             "scan": lambda: stage_scan.lower(rvars, *prep_out).compile(),
             "decode": lambda: stage_decode.lower(dec_p, scan_out).compile(),
         }
+        warmed: dict = {}
         if parallel:
             with ThreadPoolExecutor(len(jobs)) as ex:
                 futs = {k: ex.submit(v) for k, v in jobs.items()}
                 for k, f in futs.items():
-                    _compiled[k] = f.result()
+                    warmed[k] = f.result()
         else:
             for k, v in jobs.items():
-                _compiled[k] = v()
-        return _compiled
+                warmed[k] = v()
+        _compiled[_aval(lr_images)] = warmed
+        return warmed
 
     # exposed for per-stage benchmarking (bench.py --stage-times); these
     # are the raw traceable jits (the timing harness re-embeds them in
@@ -370,6 +383,7 @@ def build_refiner_sampler_split(
     sample.stages = {"prep": stage_prep, "scan": stage_scan,
                      "decode": stage_decode}
     sample.warm_compile = warm_compile
+    sample.clear_compiled = _compiled.clear
     return sample
 
 

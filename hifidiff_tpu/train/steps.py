@@ -110,7 +110,12 @@ def make_idc_train_step(idc_model, cr_model, cr_params) -> Callable:
     (`pretrain_idc.py:113-116`)."""
 
     def step(state: TrainState, batch, key):
-        lr_img, gt, other = batch["lr"], batch["gt"], batch["other"]
+        # positive = a different photo of the identity when the dataset
+        # provides one ("pos", e.g. the procedural detail family), else
+        # the frontal gt (the reference's positive IS a separate frontal
+        # photograph, `pretrain_idc.py:24-28`)
+        lr_img, other = batch["lr"], batch["other"]
+        gt = batch["pos"] if "pos" in batch else batch["gt"]
         cr_face = jax.lax.stop_gradient(
             cr_model.apply({"params": cr_params}, lr_img))
 

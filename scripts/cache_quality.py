@@ -67,6 +67,8 @@ class Config:
     procedural: int = 64   # must stay > 0 (smoke_datasets source)
     proc_id_spread: float = 1.0   # match the stack's training family
     proc_light_jitter: float = 0.0  # (hard tier: 0.6 / 0.25)
+    proc_detail: float = 0.0    # >0: per-identity facial-mark detail
+    proc_clutter: int = 0       # >0: per-sample background shapes
     synthetic: int = 0     # read by smoke_datasets' fallback branch
     batch_size: int = 16
     seed: int = 0

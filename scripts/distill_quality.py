@@ -52,6 +52,8 @@ class Config:
     procedural: int = 64
     proc_id_spread: float = 1.0   # match the stack's training family
     proc_light_jitter: float = 0.0  # (hard tier: 0.6 / 0.25)
+    proc_detail: float = 0.0    # >0: per-identity facial-mark detail
+    proc_clutter: int = 0       # >0: per-sample background shapes
     batch_size: int = 16
     eval_batch: int = 16
     seed: int = 0

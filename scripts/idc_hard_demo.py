@@ -49,6 +49,8 @@ class Config:
     seed: int = 0
     proc_id_spread: float = 0.6
     proc_light_jitter: float = 0.25
+    proc_detail: float = 0.0    # >0: per-identity facial-mark detail
+    proc_clutter: int = 0       # >0: per-sample background shapes
     name: str = "idchard"
     platform: str = ""          # "cpu" to run without the TPU
     check: bool = True
@@ -64,7 +66,9 @@ def main(argv=None) -> dict:
     from hifidiff_tpu.cli import pretrain_idc, test_idc, train_cr
 
     hard = ["--proc-id-spread", str(cfg.proc_id_spread),
-            "--proc-light-jitter", str(cfg.proc_light_jitter)]
+            "--proc-light-jitter", str(cfg.proc_light_jitter),
+            "--proc-detail", str(cfg.proc_detail),
+            "--proc-clutter", str(cfg.proc_clutter)]
     common = ["--procedural", str(cfg.n), "--size", str(cfg.size),
               "--batch-size", str(cfg.batch_size), "--seed", str(cfg.seed),
               "--name", cfg.name, "--log-dir",
@@ -110,6 +114,8 @@ def main(argv=None) -> dict:
                    "num_ids": max(8, cfg.n // 16),
                    "id_spread": cfg.proc_id_spread,
                    "light_jitter": cfg.proc_light_jitter,
+                   "detail": cfg.proc_detail,
+                   "clutter": cfg.proc_clutter,
                    "epochs_cr": cfg.epochs_cr,
                    "epochs_idc": cfg.epochs_idc},
         "idc": {

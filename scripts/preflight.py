@@ -126,9 +126,10 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--skip-bench", action="store_true")
     p.add_argument("--skip-smoke", action="store_true")
-    p.add_argument("--bench-floor", type=float, default=250.0,
-                   help="minimum acceptable faces/s (r2 number of record "
-                        "291 minus tunnel-drift margin)")
+    p.add_argument("--bench-floor", type=float, default=280.0,
+                   help="minimum acceptable faces/s (r4 number of record "
+                        "296.6 minus tunnel-drift margin — a regression "
+                        "to r2 levels must FAIL the gate, VERDICT r4 #9)")
     args = p.parse_args()
 
     checks = []

@@ -50,6 +50,8 @@ class Config:
     procedural: int = 64
     proc_id_spread: float = 1.0   # match the stack's training family
     proc_light_jitter: float = 0.0  # (hard tier: 0.6 / 0.25)
+    proc_detail: float = 0.0    # >0: per-identity facial-mark detail
+    proc_clutter: int = 0       # >0: per-sample background shapes
     batch_size: int = 8
     seed: int = 0
     vae_blocks: str = "32,32"  # demo VAE widths; len L => factor 2^(L-1)

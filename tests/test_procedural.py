@@ -58,21 +58,115 @@ class TestProceduralData:
             assert dt == pytest.approx(0.5 * dw, rel=1e-6)
             assert dt > 0.0
 
-    def test_light_jitter_input_only(self):
-        """light_jitter perturbs the degraded INPUT render per sample but
-        leaves gt/other (canonical frontals) untouched."""
-        plain = ProceduralFaceDataset(16, 32, keys=("lr", "gt", "other"))
-        lit = ProceduralFaceDataset(16, 32, keys=("lr", "gt", "other"),
+    def test_light_jitter_photo_semantics(self):
+        """light_jitter gives each PHOTO its own illumination: the
+        degraded input, the different-photo positive ("pos") and the
+        negative ("other") each draw a gain from an independent rng
+        stream (ADVICE r4: enabling the knob must not shift the legacy
+        pose/negative-identity draws), while gt — the same-scene
+        restoration target — stays canonical."""
+        plain = ProceduralFaceDataset(16, 32,
+                                      keys=("lr", "gt", "pos", "other"))
+        lit = ProceduralFaceDataset(16, 32,
+                                    keys=("lr", "gt", "pos", "other"),
                                     light_jitter=0.3)
         changed = 0
         for i in range(16):
             a, b = plain[i], lit[i]
             np.testing.assert_array_equal(a["gt"], b["gt"])
+            # the negative IDENTITY is invariant to the knob: the lit
+            # negative is exactly the plain one under its photo gain
+            nrng = np.random.default_rng((0, 104734, i))
+            gain = 1.0 + nrng.uniform(-0.3, 0.3, 3)
+            np.testing.assert_allclose(
+                b["other"], np.clip(a["other"] * gain, 0.0, 1.0),
+                atol=1e-6)
             if not np.array_equal(a["lr"], b["lr"]):
                 changed += 1
         assert changed >= 14  # jitter is per-sample and rarely a no-op
         # deterministic in index: same sample twice is identical
         np.testing.assert_array_equal(lit[5]["lr"], lit[5]["lr"])
+
+    def test_pos_is_same_identity_different_photo(self):
+        """"pos" = the identity's frontal as a DIFFERENT photograph:
+        bit-identical to gt on the legacy family (clutter=0, jitter=0),
+        its own background scene when clutter > 0."""
+        legacy = ProceduralFaceDataset(8, 32, keys=("gt", "pos"))
+        for i in (0, 3, 7):
+            s = legacy[i]
+            np.testing.assert_array_equal(s["gt"], s["pos"])
+        ds = ProceduralFaceDataset(8, 64, keys=("gt", "pos"), clutter=6)
+        s = ds[0]
+        assert np.abs(s["gt"] - s["pos"]).max() > 1e-3  # own background
+        # face region identical: the center crop (face) matches closely
+        c = slice(24, 40)
+        assert np.abs(s["gt"][c, c] - s["pos"][c, c]).mean() < 0.02
+
+    def test_id_spread_validated(self):
+        with pytest.raises(ValueError):
+            ProceduralFaceDataset(4, 32, id_spread=0.0)
+        with pytest.raises(ValueError):
+            ProceduralFaceDataset(4, 32, id_spread=1.5)
+
+    def test_detail_family_defaults_bit_stable(self):
+        """detail=0 / clutter=0 must reproduce the legacy family
+        bit-exactly (the new knobs draw from independent rng streams)."""
+        legacy = ProceduralFaceDataset(8, 32, keys=("lr", "gt", "other"))
+        explicit = ProceduralFaceDataset(8, 32, keys=("lr", "gt", "other"),
+                                         detail=0.0, clutter=0)
+        for i in (0, 3, 7):
+            for k in ("lr", "gt", "other"):
+                np.testing.assert_array_equal(legacy[i][k], explicit[i][k])
+
+    def test_detail_identity_deterministic_and_fine(self):
+        """The facial-mark pattern is deterministic per identity (same
+        frontal gt for every sample of an identity) and FINE: at 128 px
+        the x4 degradation destroys most of its high-frequency structure
+        (an aliased low-res trace survives — position information — but
+        the sharp 128px rendering must be re-synthesized from the
+        identity, VERDICT r4 #1/#2)."""
+        from hifidiff_tpu.data.procedural import degrade_lr
+
+        plain = ProceduralFaceDataset(16, 128, keys=("lr", "gt"),
+                                      num_ids=8)
+        fine = ProceduralFaceDataset(16, 128, keys=("lr", "gt"),
+                                     num_ids=8, detail=1.0)
+        # identity-deterministic: same identity -> identical marked gt
+        np.testing.assert_array_equal(fine[0]["gt"], fine[8]["gt"])
+        # distinct identities get distinct patterns
+        assert np.abs(fine[0]["gt"] - fine[1]["gt"]).max() > 1e-3
+
+        def hf_energy(delta):
+            # residual above a x4 bicubic down/up blur of the delta
+            blur = degrade_lr(np.clip(delta * 0.5 + 0.5, 0, 1), 128, 4) \
+                * 2.0 - 1.0
+            return np.abs(delta - blur).mean()
+
+        gt_hf = hf_energy(fine[0]["gt"] - plain[0]["gt"])
+        lr_hf = hf_energy(fine[0]["lr"] - plain[0]["lr"])
+        assert gt_hf > 0.0
+        assert lr_hf < 0.7 * gt_hf, (
+            f"degradation must destroy most of the marks' high-frequency "
+            f"structure: lr hf {lr_hf:.5f} vs gt hf {gt_hf:.5f}")
+
+    def test_clutter_per_sample_scene(self):
+        """Background clutter varies per SAMPLE (not per identity), is
+        shared between the posed input and the frontal gt of one sample,
+        and the triplet negative gets its own background."""
+        ds = ProceduralFaceDataset(16, 64, keys=("lr", "gt", "other"),
+                                   num_ids=8, clutter=6)
+        # same identity, different samples -> different backgrounds
+        assert np.abs(ds[0]["gt"] - ds[8]["gt"]).max() > 1e-3
+        # deterministic in index
+        np.testing.assert_array_equal(ds[3]["gt"], ds[3]["gt"])
+        # scene is shared lr<->gt: the lr (degraded posed render) must be
+        # closer to its own gt than to another sample's gt of the SAME
+        # identity (backgrounds differ)
+        own = np.abs(ds[0]["lr"] - ds[0]["gt"]).mean()
+        cross = np.abs(ds[0]["lr"] - ds[8]["gt"]).mean()
+        assert own < cross
+        # negative has its own background: other != any same-index gt
+        assert np.abs(ds[0]["other"] - ds[0]["gt"]).max() > 1e-3
 
     def test_identity_signal(self):
         # lr must be closer to its own gt than to another identity's gt —
