@@ -120,12 +120,14 @@ def smoke_datasets(cfg, keys, val_keys=None):
             num_ids = max(8, cfg.procedural // 4)
         val_kw = (dict(seed=cfg.seed, start=10_000) if pose_dependent
                   else dict(seed=cfg.seed + 7919))
+        # cache=True: deterministic renders, re-used across epochs (the
+        # detail-family renders are host-CPU-bound otherwise)
         return (ProceduralFaceDataset(cfg.procedural, cfg.size, keys=keys,
                                       num_ids=num_ids, seed=cfg.seed,
-                                      **hard_kw),
+                                      cache=True, **hard_kw),
                 ProceduralFaceDataset(n_val, cfg.size, num_ids=num_ids,
-                                      keys=val_keys or keys, **val_kw,
-                                      **hard_kw))
+                                      keys=val_keys or keys, cache=True,
+                                      **val_kw, **hard_kw))
     if cfg.synthetic:
         mk = lambda n, k: SyntheticFaceDataset(  # noqa: E731
             n, cfg.size, keys=k, seed=cfg.seed)

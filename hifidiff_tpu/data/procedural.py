@@ -231,7 +231,7 @@ class ProceduralFaceDataset(Dataset):
                  num_ids: int = 8, seed: int = 0, lr_factor: int = 4,
                  start: int = 0, id_spread: float = 1.0,
                  light_jitter: float = 0.0, detail: float = 0.0,
-                 clutter: int = 0):
+                 clutter: int = 0, cache: bool = False):
         if not 0.0 < id_spread <= 1.0:
             # u() would extrapolate outside the valid parameter ranges
             # (colors leaving [0,1], geometry leaving the render's
@@ -266,11 +266,23 @@ class ProceduralFaceDataset(Dataset):
         # instead of only at 32 px. Defaults keep the legacy family.
         self.detail = detail
         self.clutter = clutter
+        # optional in-memory render cache: the dataset is deterministic
+        # in (seed, index), so caching is exact. The detail/clutter
+        # renders cost ~8/33 ms per sample at 64/128 px — re-rendering
+        # every epoch on a 1-core host would dominate a long multi-stage
+        # training run (dict writes are GIL-atomic; a racing Loader
+        # thread at worst renders a sample twice)
+        self._cache: Dict[int, Sample] = {} if cache else None
 
     def __len__(self) -> int:
         return self.n
 
     def __getitem__(self, index: int) -> Sample:
+        if self._cache is not None:
+            hit = self._cache.get(index)
+            if hit is not None:
+                return hit
+        raw_index = index
         index = index + self.start
         ident = index % self.num_ids
         idp = _identity_params(self.seed, ident, self.id_spread)
@@ -351,4 +363,6 @@ class ProceduralFaceDataset(Dataset):
                                           self.light_jitter, 3)
                 neg = np.clip(neg * gain, 0.0, 1.0).astype(np.float32)
             out["other"] = neg
+        if self._cache is not None:
+            self._cache[raw_index] = out
         return out
