@@ -14,13 +14,17 @@ evidence the reference's stage 2 exists for (`pretrain_idc.py:27-28,119`):
   * held-out-pose verification accuracy CLIMBS from the random-init
     baseline instead of starting at 1.0.
 
-Writes IDC_HARD.json. Hardness must scale with resolution: the r4 grid
-measured that (spread 0.6, jitter 0.25) is hard at 32 px (random acc
-0.77) but VACUOUS at 64 px (random acc 1.0 — the 4x-larger input
-retains identity geometry a random ResNet already separates); overly
-hard settings (spread <= 0.35, or 8-identity pools) overfit CR
-artifacts instead (trained accuracy at or below random, val loss
-rising). Defaults are the measured 32 px sweet spot.
+Writes IDC_HARD.json. Defaults are the r5 detail-family setting: 48
+identities (n=768), facial-mark detail, per-photo backgrounds/lighting
+("pos"/"other" are different photos, data/procedural.py) — measured
+r5: random baseline 0.69, trained 0.95, and val triplet loss ends at
+0.40, well BELOW the margin (1.0): held-out triplets are satisfied in
+distance, not just ranking (the r4 16-identity artifact ended at 1.80 —
+memorization; VERDICT r4 #6). The r4 history is kept for the record:
+(spread 0.6, jitter 0.25) without detail/clutter was hard at 32 px
+(random 0.77) but vacuous at 64 px; the r5 family is hard at every
+measured scale (random 0.66 at 64 px through a TRAINED CR,
+CONVERGENCE_V2 tiers).
 
     python scripts/idc_hard_demo.py            # ~15 min on one chip
 """
@@ -41,16 +45,16 @@ from hifidiff_tpu.cli.common import parse_config  # noqa: E402
 class Config:
     out: str = "IDC_HARD.json"
     run_dir: str = "runs/idc_hard"
-    n: int = 256
+    n: int = 768                # 48 identities (n // 16)
     size: int = 32
     batch_size: int = 16
     epochs_cr: int = 10
-    epochs_idc: int = 12
+    epochs_idc: int = 14
     seed: int = 0
     proc_id_spread: float = 0.6
-    proc_light_jitter: float = 0.25
-    proc_detail: float = 0.0    # >0: per-identity facial-mark detail
-    proc_clutter: int = 0       # >0: per-sample background shapes
+    proc_light_jitter: float = 0.3
+    proc_detail: float = 1.0    # >0: per-identity facial-mark detail
+    proc_clutter: int = 4       # >0: per-sample background shapes
     name: str = "idchard"
     platform: str = ""          # "cpu" to run without the TPU
     check: bool = True
@@ -108,8 +112,14 @@ def main(argv=None) -> dict:
             "family (VERDICT r3 #4): triplet loss starts > 0 through a "
             "trained CR, falls, and held-out-pose verification accuracy "
             "climbs from the random-init baseline. Hardness is "
-            "resolution-dependent: these knobs are hard at 32 px but "
-            "vacuous at 64 px (random accuracy already 1.0 there)."),
+            "REAL: the positive/negative are different photos (own "
+            "background scene + illumination) and 48 tightly-packed "
+            "identities carry facial-mark detail, so held-out triplets "
+            "end satisfied in DISTANCE (val loss below the margin 1.0), "
+            "not just ranking — the r4 16-identity run memorized "
+            "(val 1.80). The same knobs are hard at 64/128 px too "
+            "(CONVERGENCE_V2 tiers; random baseline 0.66 at 64 px "
+            "through a trained CR)."),
         "config": {"n": cfg.n, "size": cfg.size,
                    "num_ids": max(8, cfg.n // 16),
                    "id_spread": cfg.proc_id_spread,
@@ -141,6 +151,10 @@ def main(argv=None) -> dict:
                 > i["sample_accuracy_random_init"] + 0.1), \
             "accuracy did not climb over the random-init baseline"
         assert i["sample_accuracy_trained"] > 0.85, "trained accuracy low"
+        assert i["val_loss_final"] < 1.0, (
+            "held-out triplets not satisfied in distance (val loss >= "
+            "margin 1.0) — the embedding memorizes the identity pool "
+            "instead of generalizing (VERDICT r4 #6; measured r5: 0.40)")
         print("IDC HARD-FAMILY CHECKS PASSED", flush=True)
     return result
 
