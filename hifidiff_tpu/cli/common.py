@@ -170,26 +170,14 @@ class SyntheticFaceDataset(Dataset):
         return out
 
 
-def load_refiner_stack(cfg, key):
-    """Build the CR / VAE / FacialRefiner stack from cfg's model-size knobs
-    and load weights from its ckpt fields (orbax dir, torch .pt /
-    .safetensors via the importers, or random init with a warning).
-
-    cfg needs: size, width, enc_depths, mid_depth, dec_depths, idc_stages,
-    cr_width, cr_enc_depths, cr_mid_depth, vae_blocks, vae_layers,
-    refiner_ckpt, cr_ckpt, vae_ckpt. Shared by `test_refiner` and `serve`.
-    Returns (cr, vae, refiner, schedule, sample_vars, latent).
-    """
-    import jax
-    import jax.numpy as jnp
-
+def build_refiner_models(cfg):
+    """Construct the CR / VAE / FacialRefiner model DEFINITIONS from cfg's
+    model-size knobs — cheap, no device touch. Split out of
+    load_refiner_stack so a server can build its sampler and start
+    compiling stage programs from abstract avals CONCURRENTLY with the
+    weight init/load below (the bench's overlapped-cold-start trick)."""
     from hifidiff_tpu.diffusion import DiffusionSchedule
     from hifidiff_tpu.models import CoarseRestoration, FacialRefiner
-    from hifidiff_tpu.train.checkpoint import (
-        compose_refiner_params,
-        restore_state,
-    )
-    from hifidiff_tpu.utils import torch_import as ti
     from hifidiff_tpu.vae import AutoencoderKL
 
     vae_blocks = parse_ints(cfg.vae_blocks)
@@ -204,7 +192,63 @@ def load_refiner_stack(cfg, key):
                             mid_num=cfg.mid_depth,
                             dec_nums=parse_ints(cfg.dec_depths),
                             idc_stage_sizes=parse_ints(cfg.idc_stages))
-    schedule = DiffusionSchedule.create()
+    return cr, vae, refiner, DiffusionSchedule.create(), latent
+
+
+def refiner_stack_avals(cfg, cr, vae, refiner, latent, key,
+                        cast_bf16=False):
+    """ShapeDtypeStruct pytree matching load_refiner_stack's sample_vars
+    (optionally with f32 leaves cast to bf16) — host-side tracing only,
+    for aval-based AOT warm-up concurrent with the real init."""
+    import jax
+    import jax.numpy as jnp
+
+    def cast_tree(t):
+        return jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(
+                s.shape,
+                jnp.bfloat16 if (cast_bf16 and s.dtype == jnp.float32)
+                else s.dtype), t)
+
+    rv = cast_tree(jax.eval_shape(
+        lambda k: refiner.init(
+            k, jnp.zeros((1, latent, latent, 4)), jnp.zeros((1,)),
+            jnp.zeros((1, cfg.size, cfg.size, 3)),
+            jnp.zeros((1, latent, latent, 4)), train=False), key))
+    cr_a = cast_tree(jax.eval_shape(
+        cr.init, key,
+        jax.ShapeDtypeStruct((1, cfg.size, cfg.size, 3),
+                             jnp.float32)))["params"]
+    vae_a = cast_tree(jax.eval_shape(
+        vae.init, key,
+        jax.ShapeDtypeStruct((1, cfg.size, cfg.size, 3),
+                             jnp.float32)))["params"]
+    return {"refiner": {"params": rv["params"],
+                        "batch_stats": rv.get("batch_stats", {})},
+            "cr": cr_a, "vae": vae_a}
+
+
+def load_refiner_stack(cfg, key, models=None):
+    """Build the CR / VAE / FacialRefiner stack from cfg's model-size knobs
+    and load weights from its ckpt fields (orbax dir, torch .pt /
+    .safetensors via the importers, or random init with a warning).
+
+    cfg needs: size, width, enc_depths, mid_depth, dec_depths, idc_stages,
+    cr_width, cr_enc_depths, cr_mid_depth, vae_blocks, vae_layers,
+    refiner_ckpt, cr_ckpt, vae_ckpt. Shared by `test_refiner` and `serve`.
+    Returns (cr, vae, refiner, schedule, sample_vars, latent).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from hifidiff_tpu.train.checkpoint import (
+        compose_refiner_params,
+        restore_state,
+    )
+    from hifidiff_tpu.utils import torch_import as ti
+
+    cr, vae, refiner, schedule, latent = (models if models is not None
+                                          else build_refiner_models(cfg))
 
     init_vars = jax.jit(lambda k: refiner.init(
         k, jnp.zeros((1, latent, latent, 4)), jnp.zeros((1,)),

@@ -53,12 +53,12 @@ class Config:
     # 140 ms, README "Serving latency") and padding waste at low load.
     # Every bucket rounds up to a device multiple and is compiled+warmed
     # at startup (still zero recompiles while serving).
-    max_wait_ms: float = 20.0   # batching window: each new arrival RENEWS
+    max_wait_ms: float = 30.0   # batching window: each new arrival RENEWS
     # this window (so a sustained backlog keeps filling the batch instead
     # of fragmenting into persistent partial-launch cohorts — the r4
     # p95/p50=3.9 tail at concurrency 16 came from resends landing just
     # outside a fixed window on a slow host, VERDICT r4 #5) ...
-    max_fill_wait_ms: float = 250.0  # ... up to this hard cap from the
+    max_fill_wait_ms: float = 500.0  # ... up to this hard cap from the
     # first request; a padded partial launch costs the same device time
     # as a full one, so merging stragglers is strictly better until the
     # cap bounds worst-case added latency
@@ -97,6 +97,13 @@ class Config:
     seed: int = 0
     dtype: str = "bf16"         # params+compute dtype on TPU
     platform: str = ""          # "cpu" forces the CPU backend (tests)
+
+
+class _Server(ThreadingHTTPServer):
+    # a burst of N simultaneous client connects must not overflow the TCP
+    # accept backlog (the default request_queue_size=5 dropped connections
+    # at concurrency 16/32 in the r4-era load test — reset errors)
+    request_queue_size = 128
 
 
 class _Batcher:
@@ -202,12 +209,19 @@ class _Batcher:
 def build_runner(cfg: Config):
     """Load the model stack and return (run_fn(uint8 NHWC) -> uint8 NHWC,
     warmup_fn)."""
+    import os
+
     import jax
 
     if cfg.platform:
         # must precede first backend touch; the harness sitecustomize pins
         # JAX_PLATFORMS, so an env var cannot override it
         jax.config.update("jax_platforms", cfg.platform)
+    # persistent compile cache: a server restart with unchanged config
+    # reloads its stage programs instead of recompiling them
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.getcwd(), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
 
     from hifidiff_tpu.cli.common import load_refiner_stack
@@ -218,36 +232,13 @@ def build_runner(cfg: Config):
     )
 
     key = jax.random.PRNGKey(cfg.seed)
-    cr, vae, refiner, schedule, sample_vars, latent = \
-        load_refiner_stack(cfg, key)
-    tiny_enc = tiny_dec = None
-    if cfg.tae_ckpt:
-        from hifidiff_tpu.train.checkpoint import restore_state
-        from hifidiff_tpu.vae import tiny_autoencoder_pair
+    from hifidiff_tpu.cli.common import (
+        build_refiner_models,
+        refiner_stack_avals,
+    )
 
-        te, td = tiny_autoencoder_pair(cfg.size // latent)
-        tae_params = restore_state(cfg.tae_ckpt)["state"]["params"]
-        tiny_dec = td
-        sample_vars["tiny_dec"] = tae_params["dec"]
-        if cfg.tae_mode == "both":
-            tiny_enc = te
-            sample_vars["tiny_enc"] = tae_params["enc"]
-        print(f"[serve] tiny autoencoder ({cfg.tae_mode}) from "
-              f"{cfg.tae_ckpt}", flush=True)
-    tiny_cr = None
-    if cfg.tiny_cr_ckpt:
-        from hifidiff_tpu.models import TinyCR
-        from hifidiff_tpu.train.checkpoint import restore_state
-
-        tiny_cr = TinyCR(width=cfg.tiny_cr_width, blocks=cfg.tiny_cr_blocks,
-                         down_factor=cfg.tiny_cr_down)
-        sample_vars["tiny_cr"] = \
-            restore_state(cfg.tiny_cr_ckpt)["state"]["params"]
-        print(f"[serve] tiny CR from {cfg.tiny_cr_ckpt}", flush=True)
-    if cfg.dtype == "bf16":
-        sample_vars = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16)
-            if getattr(a, "dtype", None) == jnp.float32 else a, sample_vars)
+    models = build_refiner_models(cfg)
+    cr, vae, refiner, schedule, latent = models
 
     # data-parallel serving: params replicated, the fixed batch sharded
     # over a 1-axis mesh; jit compiles the same program SPMD and XLA
@@ -268,9 +259,23 @@ def build_runner(cfg: Config):
     if n_dev > 1:
         print(f"[serve] {n_dev}-device data-parallel mesh "
               f"({cfg.batch // n_dev} faces/device/launch)", flush=True)
-    sample_vars = jax.device_put(sample_vars, replicated(mesh))
     img_sharding = batch_sharding(mesh)
     key_sharding = replicated(mesh)
+
+    # tiny-seam module DEFINITIONS (cheap); their params load below
+    tiny_enc = tiny_dec = tiny_cr = None
+    if cfg.tae_ckpt:
+        from hifidiff_tpu.vae import tiny_autoencoder_pair
+
+        te, td = tiny_autoencoder_pair(cfg.size // latent)
+        tiny_dec = td
+        if cfg.tae_mode == "both":
+            tiny_enc = te
+    if cfg.tiny_cr_ckpt:
+        from hifidiff_tpu.models import TinyCR
+
+        tiny_cr = TinyCR(width=cfg.tiny_cr_width, blocks=cfg.tiny_cr_blocks,
+                         down_factor=cfg.tiny_cr_down)
 
     sampler = build_refiner_sampler_split(
         refiner, cr, vae, schedule,
@@ -280,6 +285,64 @@ def build_runner(cfg: Config):
             cache_interval=cfg.cache_interval, io_uint8=True,
             clip_sample=True, clip_sample_range=cfg.clip_sample_range),
         tiny_enc=tiny_enc, tiny_dec=tiny_dec, tiny_cr=tiny_cr)
+
+    # overlapped cold start (VERDICT r4 #5, same trick as bench.py): the
+    # stage programs depend only on input AVALS, so compile them — all
+    # buckets, all three stages, server-side concurrent — WHILE the init
+    # programs below initialize/load the real weights. Single-device,
+    # plain-stack only (AOT avals carry no sharding; tiny-seam avals are
+    # not worth the plumbing — those paths warm lazily below).
+    warm_thread = None
+    if n_dev == 1 and tiny_dec is None and tiny_cr is None:
+        import threading
+
+        def _aval_warm():
+            try:
+                from concurrent.futures import ThreadPoolExecutor
+
+                var_avals = refiner_stack_avals(
+                    cfg, cr, vae, refiner, latent, key,
+                    cast_bf16=cfg.dtype == "bf16")
+                # buckets in parallel too (each warm_compile is itself
+                # parallel over its 3 stages): all buckets x stages
+                # compile server-side concurrently — the critical path
+                # is the single slowest program, not the bucket sum
+                with ThreadPoolExecutor(len(buckets)) as ex:
+                    list(ex.map(
+                        lambda b: sampler.warm_compile(
+                            var_avals,
+                            jax.ShapeDtypeStruct(
+                                (b, cfg.size, cfg.size, 3), jnp.uint8),
+                            key),
+                        buckets))
+            except Exception as e:  # noqa: BLE001 — lazy path still works
+                print(f"[serve] overlapped stage warm failed ({e}); "
+                      "falling back to lazy compile", flush=True)
+
+        warm_thread = threading.Thread(target=_aval_warm, daemon=True)
+        warm_thread.start()
+
+    _, _, _, _, sample_vars, _ = load_refiner_stack(cfg, key, models=models)
+    if cfg.tae_ckpt:
+        from hifidiff_tpu.train.checkpoint import restore_state
+
+        tae_params = restore_state(cfg.tae_ckpt)["state"]["params"]
+        sample_vars["tiny_dec"] = tae_params["dec"]
+        if cfg.tae_mode == "both":
+            sample_vars["tiny_enc"] = tae_params["enc"]
+        print(f"[serve] tiny autoencoder ({cfg.tae_mode}) from "
+              f"{cfg.tae_ckpt}", flush=True)
+    if cfg.tiny_cr_ckpt:
+        from hifidiff_tpu.train.checkpoint import restore_state
+
+        sample_vars["tiny_cr"] = \
+            restore_state(cfg.tiny_cr_ckpt)["state"]["params"]
+        print(f"[serve] tiny CR from {cfg.tiny_cr_ckpt}", flush=True)
+    if cfg.dtype == "bf16":
+        sample_vars = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if getattr(a, "dtype", None) == jnp.float32 else a, sample_vars)
+    sample_vars = jax.device_put(sample_vars, replicated(mesh))
 
     # each batch gets a fresh fold_in'd key (stateless sampler, stateful
     # counter on the host side)
@@ -304,19 +367,31 @@ def build_runner(cfg: Config):
         from concurrent.futures import ThreadPoolExecutor
 
         t0 = time.time()
-        with ThreadPoolExecutor(len(buckets)) as ex:
-            futs = [ex.submit(
-                sampler.warm_compile,
-                sample_vars,
-                jax.device_put(np.zeros((b, cfg.size, cfg.size, 3),
-                                        np.uint8), img_sharding),
-                jax.device_put(key, key_sharding))
-                for b in buckets]
-            for f in futs:
-                f.result()
-        print(f"[serve] stage programs compiled in {time.time() - t0:.1f}s "
-              f"({len(buckets)} buckets x 3 stages, concurrent)",
-              flush=True)
+        if warm_thread is not None:
+            # stage compiles have been running since before the weight
+            # init — just join them
+            warm_thread.join()
+            print(f"[serve] overlapped stage compiles joined "
+                  f"{time.time() - t0:.1f}s after init", flush=True)
+        elif n_dev == 1:
+            # the AOT stage executables are lowered from eval_shape'd
+            # inter-stage avals, which carry no sharding — valid only on
+            # a single device. Multi-device serving warms via the lazy
+            # jits below (which compile against the real shardings).
+            with ThreadPoolExecutor(len(buckets)) as ex:
+                futs = [ex.submit(
+                    sampler.warm_compile,
+                    sample_vars,
+                    jax.device_put(np.zeros((b, cfg.size, cfg.size, 3),
+                                            np.uint8), img_sharding),
+                    jax.device_put(key, key_sharding))
+                    for b in buckets]
+                for f in futs:
+                    f.result()
+            print(f"[serve] stage programs compiled in "
+                  f"{time.time() - t0:.1f}s "
+                  f"({len(buckets)} buckets x 3 stages, concurrent)",
+                  flush=True)
         for b in buckets:
             run(np.zeros((b, cfg.size, cfg.size, 3), np.uint8))
         return time.time() - t0
@@ -423,8 +498,7 @@ def create_server(cfg: Config):
           f"steps={cfg.num_inference_steps} "
           f"cache={cfg.cache_interval} sampler={cfg.sampler}", flush=True)
     batcher.start()
-    httpd = ThreadingHTTPServer((cfg.host, cfg.port),
-                                make_handler(batcher, cfg))
+    httpd = _Server((cfg.host, cfg.port), make_handler(batcher, cfg))
     return httpd, batcher
 
 

@@ -47,7 +47,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from hifidiff_tpu.cli.common import parse_config, smoke_datasets  # noqa: E402
 from hifidiff_tpu.diffusion import DiffusionSchedule  # noqa: E402
-from hifidiff_tpu.eval.metrics import min_max_normalize, psnr_pyiqa  # noqa: E402
+from hifidiff_tpu.eval.metrics import (  # noqa: E402
+    min_max_normalize,
+    psnr_pyiqa,
+    ssim_pyiqa,
+)
 from hifidiff_tpu.models import CoarseRestoration, FacialRefiner  # noqa: E402
 from hifidiff_tpu.pipeline import (  # noqa: E402
     RefinerPipelineConfig,
@@ -138,16 +142,27 @@ def main(argv=None) -> dict:
                                      latent_size=latent, clip_sample=True,
                                      clip_sample_range=3.0)
 
-    def gt_psnr(pred: np.ndarray) -> float:
+    def gt_metrics(pred: np.ndarray):
+        """(gt-PSNR, gt-SSIM). SSIM is reported alongside PSNR because on
+        an entropy-rich family truncated/cached DDIM biases toward the
+        posterior MEAN, which PSNR rewards (blur scores high) while SSIM
+        penalizes the lost structure — the two together separate solver
+        accuracy from blur (VERDICT r4 #1)."""
         pred_n = min_max_normalize(jnp.asarray(pred), per_sample=False)
         gtn = min_max_normalize(jnp.asarray(batch["gt"]), per_sample=False)
-        return float(jnp.mean(psnr_pyiqa(pred_n, gtn)))
+        return (float(jnp.mean(psnr_pyiqa(pred_n, gtn))),
+                float(jnp.mean(ssim_pyiqa(pred_n, gtn))))
+
+    def gt_psnr(pred: np.ndarray) -> float:
+        return gt_metrics(pred)[0]
 
     exact_fn = build_refiner_sampler_split(refiner, cr, vae, schedule,
                                            pipe_cfg)
     exact = np.asarray(exact_fn(variables, batch["lr"], key), np.float32)
+    ep, es = gt_metrics(exact)
     result = {"trained": trained, "size": cfg.size, "steps": cfg.steps,
-              "exact_gt_psnr": round(gt_psnr(exact), 2), "intervals": {},
+              "exact_gt_psnr": round(ep, 2),
+              "exact_gt_ssim": round(es, 4), "intervals": {},
               "dpmpp": {}}
 
     for k in (int(s) for s in cfg.intervals.split(",")):
@@ -155,8 +170,9 @@ def main(argv=None) -> dict:
             refiner, cr, vae, schedule,
             dataclasses.replace(pipe_cfg, cache_interval=k))
         out = np.asarray(fn(variables, batch["lr"], key), np.float32)
+        gp, gs = gt_metrics(out)
         row = {"drift_psnr": round(drift_psnr(out, exact), 2),
-               "gt_psnr": round(gt_psnr(out), 2)}
+               "gt_psnr": round(gp, 2), "gt_ssim": round(gs, 4)}
         result["intervals"][str(k)] = row
         print(f"k={k}: drift {row['drift_psnr']:.2f} dB, "
               f"gt {row['gt_psnr']:.2f} dB "
@@ -170,8 +186,9 @@ def main(argv=None) -> dict:
             dataclasses.replace(pipe_cfg, sampler="dpmpp",
                                 num_inference_steps=n))
         out = np.asarray(fn(variables, batch["lr"], key), np.float32)
+        gp, gs = gt_metrics(out)
         row = {"drift_psnr": round(drift_psnr(out, exact), 2),
-               "gt_psnr": round(gt_psnr(out), 2)}
+               "gt_psnr": round(gp, 2), "gt_ssim": round(gs, 4)}
         result["dpmpp"][str(n)] = row
         print(f"dpmpp@{n}: drift {row['drift_psnr']:.2f} dB, "
               f"gt {row['gt_psnr']:.2f} dB "
@@ -190,8 +207,9 @@ def main(argv=None) -> dict:
             dataclasses.replace(pipe_cfg, num_inference_steps=n,
                                 cache_interval=k))
         out = np.asarray(fn(variables, batch["lr"], key), np.float32)
+        gp, gs = gt_metrics(out)
         row = {"drift_psnr": round(drift_psnr(out, exact), 2),
-               "gt_psnr": round(gt_psnr(out), 2)}
+               "gt_psnr": round(gp, 2), "gt_ssim": round(gs, 4)}
         result["combos"][combo] = row
         print(f"ddim@{n} cache k={k}: drift {row['drift_psnr']:.2f} dB, "
               f"gt {row['gt_psnr']:.2f} dB "

@@ -74,6 +74,9 @@ def run_phase(host, port, size, concurrency, n_requests):
     for t in threads:
         t.join()
     wall = time.time() - t0
+    if errors:
+        print(f"[serve_bench] c={concurrency} error detail: "
+              f"{errors[:4]}", flush=True)
     after = healthz(host, port)
     lat_ms = sorted(x * 1e3 for x in latencies)
     launches = after["batches"] - before["batches"]
