@@ -9,15 +9,23 @@ the reference's 50-step sampler, `test_refiner.py:85-91`, directly into
 a 10-step student — integer 1000-step grids cannot reach 10 by halving
 from 50). The reference repo has no distillation — its only fast-sampling
 knob is DDIM step reduction, whose quality cost we measure in
-CACHE_QUALITY.json. Measured on the trained convergence stack
-(DISTILL_QUALITY.json, `scripts/distill_quality.py`): the distilled
-10- and 5-step students edge out the naive same-step teacher on
-gt-PSNR in both rounds (+0.11 / +0.08 dB) — a small margin because on
-that tiny stack naive step reduction only costs ~0.35 dB to begin
-with. The recovery margin scales with how much step reduction hurts
-the teacher (arXiv:2202.00512 measures it on strong teachers); the
-machinery here is validated end-to-end and the artifact records the
-honest current numbers.
+CACHE_QUALITY.json.
+
+Measured status (r5, DISTILL_QUALITY_R5.json): on the DISCRIMINATING
+n=192 stack — where naive ddim@10 costs ~2 dB and there is real quality
+to recover — the 50->10 distilled student comes out BELOW the naive
+same-step teacher (16.2 vs 17.9 dB gt at lr 3e-6 x 3000 steps; 16.0 vs
+17.9 at lr 1e-5 x 2000), with the train loss high-variance throughout:
+the truncated-SNR x0 weighting concentrates ~2 orders of magnitude of
+loss weight on the highest-noise student step, which small batches over
+10 discrete steps cannot average. Distillation is therefore NOT a
+sanctioned fast mode at this scale — use `--sampler dpmpp` instead.
+The earlier +0.11/+0.08 dB result (DISTILL_QUALITY.json) came from the
+weak n=64 stack whose naive reduction only cost ~0.35 dB; both
+artifacts are kept. The machinery (step tables, eps-target solve,
+teacher rollout in one jitted program) is validated by
+tests/test_distill.py and is the right substrate for a stratified or
+longer-horizon recipe on a production-scale stack.
 
 TPU-first shape: the distillation train step is one jitted program (two
 teacher evals + one student eval + backward); all DDIM constants are
