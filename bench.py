@@ -520,23 +520,26 @@ def main() -> None:
         # that. Without stage timing the post-warmup state is already
         # clean, and unconditional re-warms cost end-of-round driver
         # budget (VERDICT r3 #1). Warm-up keys come from a disjoint fold
-        # domain (negative) so they can never collide with the window keys
-        # fold_in(key, w*iters+i) at any --windows/--iters (ADVICE r3).
+        # domain far above any practical measured index (fold_in rejects
+        # negatives — uint32 coercion) so they can never collide with the
+        # window keys fold_in(key, w*iters+i) (ADVICE r3).
         for i in range(2):
-            out = run(variables, lr_images, jax.random.fold_in(key, -1 - i))
+            out = run(variables, lr_images,
+                      jax.random.fold_in(key, 2_000_000_000 + i))
         sync(out)
 
     # discarded warm windows (VERDICT r4 #7): absorb residual server-side
     # compile drain so the measured windows' spread reflects tunnel drift,
-    # not warm-up. Keys come from a disjoint negative fold domain (below
-    # the stage-times re-warm's -1/-2) so they never collide with the
-    # measured keys at any --windows/--iters.
+    # not warm-up. Keys come from a disjoint fold domain high above any
+    # practical measured index w*iters+i (fold_in rejects negatives:
+    # uint32 coercion) so they never collide at any --windows/--iters.
     warm_fps = []
     for w in range(args.warm_windows):
         t0 = time.time()
         for i in range(args.iters):
             out = run(variables, lr_images,
-                      jax.random.fold_in(key, -100 - (w * args.iters + i)))
+                      jax.random.fold_in(
+                          key, 1_000_000_000 + w * args.iters + i))
         sync(out)
         fps = args.batch * args.iters / (time.time() - t0)
         warm_fps.append(fps)
