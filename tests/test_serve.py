@@ -142,6 +142,68 @@ class TestServe:
         with pytest.raises(RuntimeError):
             b.submit(np.zeros((2, 2, 3), np.uint8))
 
+    def test_arrival_renewed_window_merges_stragglers(self):
+        """The batching window renews on every arrival (VERDICT r4 #5):
+        a trickle of requests spaced WITHIN max_wait but collectively
+        exceeding it still packs into one launch, instead of the fixed
+        window cutting the batch at whatever arrived in the first
+        max_wait. The hard cap still bounds the wait."""
+        import time
+
+        from hifidiff_tpu.cli.serve import _Batcher
+
+        launches = []
+
+        def run(imgs):
+            launches.append(len(imgs))
+            return imgs
+
+        # window 80 ms, cap 2 s: 6 requests spaced 30 ms apart span
+        # 150 ms > max_wait — a fixed window would split them
+        b = _Batcher(run, batch=6, max_wait_s=0.08, max_fill_wait_s=2.0)
+        b.start()
+        try:
+            results = []
+
+            def call():
+                results.append(b.submit(np.zeros((2, 2, 3), np.uint8)))
+
+            threads = []
+            for i in range(6):
+                t = threading.Thread(target=call)
+                t.start()
+                threads.append(t)
+                time.sleep(0.03)
+            for t in threads:
+                t.join(timeout=10)
+            assert len(results) == 6
+            assert launches == [6], (
+                f"stragglers within the renewed window must merge into "
+                f"one full launch, got {launches}")
+
+            # cap enforcement: with max_fill_wait == max_wait, a second
+            # request arriving after the cap cannot extend the window —
+            # the two requests go out as TWO launches (launch sizes are
+            # bucket-padded, so count launches, not images)
+            b2 = _Batcher(run, batch=6, max_wait_s=0.05,
+                          max_fill_wait_s=0.05)
+            b2.start()
+            try:
+                t1 = threading.Thread(target=lambda: b2.submit(
+                    np.zeros((2, 2, 3), np.uint8)))
+                t1.start()
+                time.sleep(0.2)  # past the cap: first launched alone
+                t2 = threading.Thread(target=lambda: b2.submit(
+                    np.zeros((2, 2, 3), np.uint8)))
+                t2.start()
+                t1.join(timeout=10)
+                t2.join(timeout=10)
+                assert b2.batches == 2 and b2.served == 2
+            finally:
+                b2.stop()
+        finally:
+            b.stop()
+
     def test_data_parallel_mesh(self):
         """mesh_devices=0 shards the serving batch over all 8 virtual CPU
         devices; batch 6 rounds up to the device multiple (8) and the
