@@ -59,6 +59,8 @@ class Config:
     teacher_steps: int = 50
     student_steps: str = "10"    # comma list of rounds (see module doc)
     steps_per_round: int = 2000
+    stratified: bool = False    # per-batch even step coverage (variance
+    # reduction for the truncated-SNR objective; see train/distill.py)
     batch_size: int = 16
     lr: float = 1e-5             # small: the student starts AT the teacher
     warmup_steps: int = 100
@@ -191,6 +193,7 @@ def main(argv=None) -> dict:
         state = replicate_global(state, mesh)
         step_fn = jax.jit(
             make_distill_train_step(refiner, cr, vae, schedule,
+                                    stratified=cfg.stratified,
                                     num_student_steps=student_steps,
                                     substeps=substeps, clip_sample=True,
                                     clip_sample_range=cfg.clip_sample_range),

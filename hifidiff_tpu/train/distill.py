@@ -22,10 +22,14 @@ loss weight on the highest-noise student step, which small batches over
 sanctioned fast mode at this scale — use `--sampler dpmpp` instead.
 The earlier +0.11/+0.08 dB result (DISTILL_QUALITY.json) came from the
 weak n=64 stack whose naive reduction only cost ~0.35 dB; both
-artifacts are kept. The machinery (step tables, eps-target solve,
-teacher rollout in one jitted program) is validated by
-tests/test_distill.py and is the right substrate for a stratified or
-longer-horizon recipe on a production-scale stack.
+artifacts are kept. A stratified variant
+(per-batch even step coverage, `stratified=True`) stabilizes the loss
+but degrades the student further (14.3 dB) — the negative is
+structural at this scale, not sampling variance. The machinery (step
+tables, eps-target solve, teacher rollout in one jitted program) is
+validated by tests/test_distill.py; a production-scale stack with
+bigger batches and longer horizons is where the literature's recipe
+operates.
 
 TPU-first shape: the distillation train step is one jitted program (two
 teacher evals + one student eval + backward); all DDIM constants are
@@ -142,6 +146,7 @@ def make_distill_train_step(refiner, cr_model, vae,
                             substeps: int = 2,
                             clip_sample: bool = False,
                             clip_sample_range: float = 1.0,
+                            stratified: bool = False,
                             scaling: float = SD_VAE_SCALING) -> Callable:
     """Distillation step for the full conditional refiner.
 
@@ -184,7 +189,18 @@ def make_distill_train_step(refiner, cr_model, vae,
             cr_model.apply({"params": cr_params}, lr_img))
         cr_latent = jax.lax.stop_gradient(encode(cr_face, k2))
 
-        i = jax.random.randint(k3, (b,), 0, num_student_steps)
+        if stratified:
+            # every batch covers all student steps near-evenly (randomly
+            # permuted so sample<->step pairing still varies): the
+            # truncated-SNR objective concentrates ~2 orders of
+            # magnitude of loss weight on the highest-noise step, and
+            # uniform iid step draws give it a 1/N chance of appearing
+            # in a small batch at all — the r5-measured divergence
+            # (DISTILL_QUALITY_R5.json)
+            base = jnp.arange(b) % num_student_steps
+            i = jax.random.permutation(k3, base)
+        else:
+            i = jax.random.randint(k3, (b,), 0, num_student_steps)
         t = tables["t"][i]
         a_sub = tables["alpha_sub"][i]            # (B, k+1)
         t_sub = tables["t_sub"][i]                # (B, k)

@@ -60,6 +60,7 @@ class Config:
     teacher_steps: int = 50
     student_steps: str = "10,5"   # chained rounds (50->10 k=5, 10->5 k=2)
     steps_per_round: int = 2000
+    stratified: bool = False   # per-batch even step coverage (variance fix)
     lr: float = 1e-5
     out: str = os.path.join(REPO, "DISTILL_QUALITY.json")
     platform: str = ""            # "" = default backend (TPU); "cpu" works
@@ -91,6 +92,7 @@ def main(argv=None) -> dict:
         "--teacher-steps", str(cfg.teacher_steps),
         "--student-steps", cfg.student_steps,
         "--steps-per-round", str(cfg.steps_per_round),
+        "--stratified", str(int(cfg.stratified)),
         "--lr", str(cfg.lr),
         "--ckpt-dir", os.path.join("runs", "distill_quality"),
         "--name", cfg.name,
@@ -98,6 +100,7 @@ def main(argv=None) -> dict:
     results["trained"] = bool(cfg.ckpt_root)
     results["size"] = cfg.size
     results["steps_per_round"] = cfg.steps_per_round
+    results["stratified"] = cfg.stratified
     results["lr"] = cfg.lr
     with open(cfg.out, "w") as f:
         json.dump(results, f, indent=1)
