@@ -113,3 +113,17 @@ class TestDistillTraining:
         assert np.all(np.isfinite(losses))
         first, last = np.mean(losses[:5]), np.mean(losses[-5:])
         assert last < 0.5 * first, (first, last)
+
+        # stratified variant (per-batch even step coverage): same program
+        # contract — finite loss, trains. Its quality outcome on the real
+        # stack is the measured negative in DISTILL_QUALITY_R5.json.
+        strat = jax.jit(make_distill_train_step(refiner, cr, vae, sched,
+                                                num_student_steps=10,
+                                                stratified=True))
+        s2 = TrainState.create(
+            jax.tree_util.tree_map(jnp.copy, rv["params"]), adam(2e-3),
+            batch_stats=rv.get("batch_stats", {}))
+        for i in range(3):
+            s2, m2 = strat(s2, teacher, frozen, batch,
+                           jax.random.fold_in(key, 100 + i))
+            assert np.isfinite(float(m2["loss"]))
